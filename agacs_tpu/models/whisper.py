@@ -1,0 +1,701 @@
+"""Whisper encoder/decoder as pure functions over a params pytree, TPU-first.
+
+Re-designs the reference's modified Whisper (`espnet/whisper/whisper/model.py`)
+for JAX/XLA:
+
+  * params are plain nested dicts of jnp arrays; per-layer parameters are
+    STACKED along a leading axis and the transformer stack runs under
+    `jax.lax.scan` (one compiled block body, fast compiles, easy remat);
+  * instead of returning full (B, h, T, T) pre-softmax score maps like the
+    reference (`model.py:109`), the decoder emits only the two
+    language-token score COLUMNS the CS machinery actually reads
+    (`espnet2/asr/espnet_model.py:506` slices `[..., 1:3]`) — O(T) not O(T²)
+    per head — plus per-row log-sum-exp so post-softmax column
+    probabilities are recoverable;
+  * parameter-efficient-tuning variants are config flags: bottleneck
+    adapters (`model.py:181-194`), gated dual-QK "PE" attention
+    (`model.py:111-179`), ladder side networks (`model.py:349-484`);
+  * layer norm and softmax run in fp32 regardless of compute dtype,
+    matching the reference's `LayerNorm(x.float())` / `qk.float()`.
+
+Layouts are channel-last (B, T, C) — TPU-native for the conv stem.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Any  # nested dict pytree of jnp arrays
+
+
+@dataclasses.dataclass(frozen=True)
+class SideNetworkConfig:
+    """Ladder side network (reference `model.py:349-484`)."""
+
+    n_dim: int = 192
+    n_head: int = 4
+    layers: tuple[int, ...] = (0, 2, 4, 6, 8, 10)
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    """ModelDimensions (reference `model.py:16-27`) + PET variant flags."""
+
+    n_mels: int = 80
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 768
+    n_audio_head: int = 12
+    n_audio_layer: int = 12
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 768
+    n_text_head: int = 12
+    n_text_layer: int = 12
+    # PET variants (mutually exclusive in the reference's recipes)
+    adapter: bool = False
+    pe_attention: bool = False
+    side_network: SideNetworkConfig | None = None
+    # numerics
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def d_audio_head(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+    @property
+    def d_text_head(self) -> int:
+        return self.n_text_state // self.n_text_head
+
+
+# OpenAI model-size presets (reference `whisper/__init__.py` _MODELS family).
+WHISPER_PRESETS: dict[str, dict] = {
+    "tiny": dict(n_audio_state=384, n_audio_head=6, n_audio_layer=4,
+                 n_text_state=384, n_text_head=6, n_text_layer=4),
+    "base": dict(n_audio_state=512, n_audio_head=8, n_audio_layer=6,
+                 n_text_state=512, n_text_head=8, n_text_layer=6),
+    "small": dict(n_audio_state=768, n_audio_head=12, n_audio_layer=12,
+                  n_text_state=768, n_text_head=12, n_text_layer=12),
+    "medium": dict(n_audio_state=1024, n_audio_head=16, n_audio_layer=24,
+                   n_text_state=1024, n_text_head=16, n_text_layer=24),
+    "large": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                  n_text_state=1280, n_text_head=20, n_text_layer=32),
+}
+
+
+def make_config(model: str = "small", **overrides) -> WhisperConfig:
+    return WhisperConfig(**{**WHISPER_PRESETS[model], **overrides})
+
+
+# ---------------------------------------------------------------------------
+# primitive layers
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    """fp32 layer norm, output cast back to input dtype (model.py:30-32)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["w"] + p["b"]).astype(x.dtype)
+
+
+def linear(x: jax.Array, p: Params) -> jax.Array:
+    """x @ w (+ b). Weights stored (in, out) — transposed from torch."""
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    # torch F.gelu default = exact erf formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+def conv1d(x: jax.Array, p: Params, stride: int) -> jax.Array:
+    """Channel-last 1-D conv, kernel (width, in, out), SAME-style padding=1."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Sinusoidal positions (model.py:53-59); a constant, not a parameter."""
+    assert channels % 2 == 0
+    log_inc = math.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-log_inc * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def mha(
+    p: Params,
+    x: jax.Array,
+    xa: jax.Array | None = None,
+    causal: bool = False,
+    n_head: int = 12,
+    lang_cols: tuple[int, int] | None = None,
+    pe: bool = False,
+) -> tuple[jax.Array, dict]:
+    """Multi-head attention matching reference `qkv_attention` numerics.
+
+    scale = d_head**-0.25 applied to BOTH q and k; softmax in fp32; causal
+    mask added as -inf pre-softmax (model.py:93-109).
+
+    Returns (output, aux) where aux contains, when `lang_cols=(lo, hi)`:
+      qk_cols: (B, h, T, hi-lo) pre-softmax scores for key columns [lo, hi)
+               INCLUDING the -inf causal entries (what the shipped CS loss
+               consumes, espnet_model.py:463-530);
+      p_cols:  same slice post-softmax (what head counting / the PE variant
+               consume).
+    For the PE variant (pe=True), scores are the gated mix
+    softmax((1-g)·qk + g·qk_cs) (model.py:156-179) and qk_cols/p_cols are
+    taken from the mixed scores.
+    """
+    kv_in = x if xa is None else xa
+    q = linear(x, p["query"])
+    k = linear(kv_in, p["key"])
+    v = linear(kv_in, p["value"])
+
+    d_head = q.shape[-1] // n_head
+    scale = d_head ** -0.25
+    qh = _split_heads(q, n_head) * scale
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
+
+    qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+    if pe:
+        q_cs = _split_heads(linear(x, p["query_cs"]), n_head) * scale
+        k_cs = _split_heads(linear(kv_in, p["key_cs"]), n_head) * scale
+        qk_cs = jnp.einsum("bhqd,bhkd->bhqk", q_cs, k_cs).astype(jnp.float32)
+        g = jax.nn.sigmoid(p["gate"].astype(jnp.float32)).reshape(1, n_head, 1, 1)
+        qk = (1.0 - g) * qk + g * qk_cs
+
+    if causal:
+        t_q, t_k = qk.shape[-2], qk.shape[-1]
+        causal_mask = jnp.triu(jnp.full((t_q, t_k), -jnp.inf, jnp.float32), k=1)
+        qk = qk + causal_mask
+
+    w = jax.nn.softmax(qk, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(vh.dtype), vh)
+    out = linear(_merge_heads(out), p["out"])
+
+    aux: dict = {}
+    if lang_cols is not None:
+        lo, hi = lang_cols
+        aux["qk_cols"] = qk[..., lo:hi]
+        aux["p_cols"] = w[..., lo:hi]
+    return out, aux
+
+
+def adapter_fwd(p: Params, x: jax.Array) -> jax.Array:
+    """Bottleneck adapter with residual (model.py:181-194)."""
+    return x + linear(gelu(linear(x, p["down"])), p["up"])
+
+
+def mlp_fwd(p: Params, x: jax.Array) -> jax.Array:
+    return linear(gelu(linear(x, p["fc1"])), p["fc2"])
+
+
+def residual_block(
+    p: Params,
+    x: jax.Array,
+    xa: jax.Array | None,
+    causal: bool,
+    n_head: int,
+    cfg: WhisperConfig,
+    lang_cols: tuple[int, int] | None = None,
+) -> tuple[jax.Array, dict]:
+    """ResidualAttentionBlock (model.py:195-248): self-attn [+adapter+ln]
+    [+cross-attn] + mlp [+adapter+ln]. Returns (x, self-attn aux)."""
+    attn_out, aux = mha(
+        p["attn"], layer_norm(x, p["attn_ln"]), None,
+        causal=causal, n_head=n_head, lang_cols=lang_cols,
+        pe=cfg.pe_attention,
+    )
+    x = x + attn_out
+    if cfg.adapter:
+        x = adapter_fwd(p["adapter_attn"], x)
+        x = layer_norm(x, p["adapter_attn_ln"])
+    if xa is not None:
+        cross_out, _ = mha(
+            p["cross_attn"], layer_norm(x, p["cross_attn_ln"]), xa,
+            causal=False, n_head=n_head, pe=False,
+        )
+        x = x + cross_out
+    x = x + mlp_fwd(p["mlp"], layer_norm(x, p["mlp_ln"]))
+    if cfg.adapter:
+        x = adapter_fwd(p["adapter_mlp"], x)
+        x = layer_norm(x, p["adapter_mlp_ln"])
+    return x, aux
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(rng, d_in, d_out, bias=True):
+    k1, k2 = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {"w": jax.random.uniform(k1, (d_in, d_out), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (d_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def _init_ln(d):
+    return {"w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def _init_attn(rng, d, n_head, pe=False):
+    ks = jax.random.split(rng, 7)
+    p = {
+        "query": _init_linear(ks[0], d, d),
+        "key": _init_linear(ks[1], d, d, bias=False),
+        "value": _init_linear(ks[2], d, d),
+        "out": _init_linear(ks[3], d, d),
+    }
+    if pe:
+        # per-head learnable gate, uniform(0,1) init (model.py:121-122)
+        p["query_cs"] = _init_linear(ks[4], d, d)
+        p["key_cs"] = _init_linear(ks[5], d, d, bias=False)
+        p["gate"] = jax.random.uniform(ks[6], (n_head,), jnp.float32, 0.0, 1.0)
+    return p
+
+
+def _init_block(rng, d, n_head, cfg: WhisperConfig, cross: bool):
+    ks = jax.random.split(rng, 8)
+    p = {
+        "attn": _init_attn(ks[0], d, n_head, pe=cfg.pe_attention),
+        "attn_ln": _init_ln(d),
+        "mlp": {"fc1": _init_linear(ks[1], d, 4 * d), "fc2": _init_linear(ks[2], 4 * d, d)},
+        "mlp_ln": _init_ln(d),
+    }
+    if cross:
+        p["cross_attn"] = _init_attn(ks[3], d, n_head)
+        p["cross_attn_ln"] = _init_ln(d)
+    if cfg.adapter:
+        bdim = d // 4
+        p["adapter_attn"] = {"down": _init_linear(ks[4], d, bdim), "up": _init_linear(ks[5], bdim, d)}
+        p["adapter_attn_ln"] = _init_ln(d)
+        p["adapter_mlp"] = {"down": _init_linear(ks[6], d, bdim), "up": _init_linear(ks[7], bdim, d)}
+        p["adapter_mlp_ln"] = _init_ln(d)
+    return p
+
+
+def _stack_blocks(blocks: list[Params]) -> Params:
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def init_whisper_params(rng: jax.Array, cfg: WhisperConfig) -> Params:
+    """Random init (tests / from-scratch). Pretrained weights come via
+    `agacs_tpu.models.checkpoint.load_torch_whisper`."""
+    ks = jax.random.split(rng, 8)
+    d_a, d_t = cfg.n_audio_state, cfg.n_text_state
+
+    enc_blocks = [
+        _init_block(k, d_a, cfg.n_audio_head, cfg, cross=False)
+        for k in jax.random.split(ks[0], cfg.n_audio_layer)
+    ]
+    dec_blocks = [
+        _init_block(k, d_t, cfg.n_text_head, cfg, cross=True)
+        for k in jax.random.split(ks[1], cfg.n_text_layer)
+    ]
+    params = {
+        "encoder": {
+            "conv1": {
+                "w": jax.random.normal(ks[2], (3, cfg.n_mels, d_a), jnp.float32)
+                / math.sqrt(3 * cfg.n_mels),
+                "b": jnp.zeros((d_a,), jnp.float32),
+            },
+            "conv2": {
+                "w": jax.random.normal(ks[3], (3, d_a, d_a), jnp.float32)
+                / math.sqrt(3 * d_a),
+                "b": jnp.zeros((d_a,), jnp.float32),
+            },
+            "blocks": _stack_blocks(enc_blocks),
+            "ln_post": _init_ln(d_a),
+        },
+        "decoder": {
+            "token_emb": jax.random.normal(ks[4], (cfg.n_vocab, d_t), jnp.float32) * 0.02,
+            "pos_emb": jax.random.normal(ks[5], (cfg.n_text_ctx, d_t), jnp.float32) * 0.01,
+            "blocks": _stack_blocks(dec_blocks),
+            "ln": _init_ln(d_t),
+        },
+    }
+    if cfg.side_network is not None:
+        params["encoder_side"] = _init_encoder_side(ks[6], cfg)
+        params["decoder_side"] = _init_decoder_side(ks[7], cfg)
+    return params
+
+
+def _init_encoder_side(rng, cfg: WhisperConfig):
+    sc = cfg.side_network
+    ks = jax.random.split(rng, 5)
+    n_side = len(sc.layers)
+    side_cfg = dataclasses.replace(cfg, adapter=False, pe_attention=False)
+    blocks = [
+        _init_block(k, sc.n_dim, sc.n_head, side_cfg, cross=False)
+        for k in jax.random.split(ks[0], n_side)
+    ]
+    return {
+        "downsample_input": _init_linear(ks[1], cfg.n_audio_state, sc.n_dim),
+        "downsample_layers": _stack_blocks(
+            [_init_linear(k, cfg.n_audio_state, sc.n_dim) for k in jax.random.split(ks[2], n_side)]
+        ),
+        "gates": jax.random.uniform(ks[3], (n_side,), jnp.float32, -1.0, 1.0),
+        "blocks": _stack_blocks(blocks),
+        "upsample_output": _init_linear(ks[4], sc.n_dim, cfg.n_audio_state),
+        "ln_post": _init_ln(cfg.n_audio_state),
+        "gate_output": jax.random.uniform(ks[3], (1,), jnp.float32, -1.0, 1.0),
+    }
+
+
+def _init_decoder_side(rng, cfg: WhisperConfig):
+    sc = cfg.side_network
+    ks = jax.random.split(rng, 6)
+    n_side = len(sc.layers)
+    side_cfg = dataclasses.replace(cfg, adapter=False, pe_attention=False)
+    blocks = [
+        _init_block(k, sc.n_dim, sc.n_head, side_cfg, cross=True)
+        for k in jax.random.split(ks[0], n_side)
+    ]
+    return {
+        "downsample_input": _init_linear(ks[1], cfg.n_text_state, sc.n_dim),
+        "downsample_encoder_input": _init_linear(ks[2], cfg.n_text_state, sc.n_dim),
+        "downsample_layers": _stack_blocks(
+            [_init_linear(k, cfg.n_text_state, sc.n_dim) for k in jax.random.split(ks[3], n_side)]
+        ),
+        "gates": jax.random.uniform(ks[4], (n_side,), jnp.float32, -1.0, 1.0),
+        "blocks": _stack_blocks(blocks),
+        "upsample_output": _init_linear(ks[5], sc.n_dim, cfg.n_text_state),
+        "ln": _init_ln(cfg.n_text_state),
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def whisper_encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
+    """Audio encoder (model.py:251-290 / whisper_encoder.py:137-222).
+
+    mel: (B, T_frames, n_mels) channel-last log-mel. Frames beyond
+    n_audio_ctx*2 are cropped (>30 s inputs, whisper_encoder.py:163-167).
+    Returns (B, T_out, d) with T_out = min(ceil(T/2), n_audio_ctx).
+    """
+    enc = params["encoder"]
+    x = mel.astype(cfg.compute_dtype)
+    x = gelu(conv1d(x, enc["conv1"], stride=1))
+    x = gelu(conv1d(x, enc["conv2"], stride=2))
+
+    max_pos = cfg.n_audio_ctx
+    if x.shape[1] > max_pos:
+        x = x[:, :max_pos, :]
+    pos = jnp.asarray(sinusoids(max_pos, cfg.n_audio_state))[: x.shape[1]]
+    x = x + pos.astype(x.dtype)
+
+    side = cfg.side_network
+    x_embed = x  # post-posemb trunk input, feeds the side ladder
+
+    def body(carry, layer_params):
+        h = carry
+        h, _ = residual_block(
+            layer_params, h, None, causal=False, n_head=cfg.n_audio_head, cfg=cfg
+        )
+        return h, (h if side is not None else 0)
+
+    x, layer_outs = jax.lax.scan(body, x, enc["blocks"])
+
+    out = layer_norm(x, enc["ln_post"])
+
+    if side is not None:
+        # ladder side network fused with gated trunk taps
+        # (whisper_encoder.py:172-205)
+        sp = params["encoder_side"]
+        side_cfg = dataclasses.replace(cfg, adapter=False, pe_attention=False)
+        h_side = linear(x_embed, sp["downsample_input"])
+        for i, layer_idx in enumerate(side.layers):
+            trunk_h = layer_outs[layer_idx]
+            down = linear(trunk_h, jax.tree.map(lambda a: a[i], sp["downsample_layers"]))
+            g = jax.nn.sigmoid(sp["gates"][i]).astype(down.dtype)
+            h_side = (1.0 - g) * down + g * h_side
+            h_side, _ = residual_block(
+                jax.tree.map(lambda a: a[i], sp["blocks"]), h_side, None,
+                causal=False, n_head=side.n_head, cfg=side_cfg,
+            )
+        h_side = linear(h_side, sp["upsample_output"])
+        h_side = layer_norm(h_side, sp["ln_post"])
+        g_out = jax.nn.sigmoid(sp["gate_output"][0]).astype(out.dtype)
+        out = (1.0 - g_out) * out + g_out * h_side
+    return out
+
+
+def encoder_olens(ilens_frames: jax.Array, cfg: WhisperConfig) -> jax.Array:
+    """Output lengths after the stride-2 conv stem (whisper_encoder.py:206-216):
+    olens = 1 + (ilens - 3 + 2) // 2, clamped at n_audio_ctx."""
+    return jnp.minimum(1 + (ilens_frames - 1) // 2, cfg.n_audio_ctx)
+
+
+# ---------------------------------------------------------------------------
+# decoder (training / full-sequence forward)
+# ---------------------------------------------------------------------------
+
+
+def whisper_decode(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jax.Array,
+    audio_feats: jax.Array,
+    src_layer: int = 0,
+    collect_lang_cols: bool = False,
+    lang_cols: tuple[int, int] = (1, 3),
+) -> tuple[jax.Array, dict]:
+    """Teacher-forced decoder forward (whisper_decoder.py:89-170).
+
+    Args:
+      tokens: (B, T) int32 input ids (already sos-prefixed).
+      audio_feats: (B, T_audio, d) encoder output.
+      src_layer: 0-based first layer whose self-attn columns are collected
+        (reference `src_layer - 1`, whisper_decoder.py:81; configs use
+        src_layer: 1 → all 12 layers).
+      collect_lang_cols: if True, aux contains
+        qk_cols / p_cols: (n_layers - src_layer, B, h, T, 2) stacked in layer
+        order — the reference's `torch.stack(attention_scores)` layout
+        (whisper_decoder.py:168) restricted to the two language columns.
+
+    Returns:
+      logits (B, T, n_vocab) fp32, aux dict.
+    """
+    dec = params["decoder"]
+    t = tokens.shape[1]
+    x = dec["token_emb"][tokens] + dec["pos_emb"][:t]
+    x = x.astype(cfg.compute_dtype)
+    xa = audio_feats.astype(cfg.compute_dtype)
+
+    cols = lang_cols if collect_lang_cols else None
+
+    def body(carry, layer_params):
+        h = carry
+        h, aux = residual_block(
+            layer_params, h, xa, causal=True, n_head=cfg.n_text_head,
+            cfg=cfg, lang_cols=cols,
+        )
+        out = (aux.get("qk_cols", 0), aux.get("p_cols", 0)) if cols else 0
+        return h, out
+
+    x, layer_aux = jax.lax.scan(body, x, dec["blocks"])
+
+    if cfg.side_network is not None:
+        # the side ladder replaces the trunk output head
+        # (whisper_decoder.py:160-163: upsample + side ln instead of trunk ln)
+        x = _decoder_side_fwd(params, cfg, tokens, xa)
+    else:
+        x = layer_norm(x, dec["ln"])
+
+    logits = jnp.dot(x, dec["token_emb"].T.astype(x.dtype)).astype(jnp.float32)
+
+    aux: dict = {}
+    if cols:
+        qk_cols, p_cols = layer_aux
+        aux["qk_cols"] = qk_cols[src_layer:]
+        aux["p_cols"] = p_cols[src_layer:]
+    return logits, aux
+
+
+def _decoder_side_fwd(params, cfg, tokens, xa):
+    """Decoder ladder-side forward; recomputes trunk per-layer outputs.
+
+    Note: the reference threads side activations inside the same loop; with
+    scan we re-run the trunk capturing intermediates (cheap relative to
+    training backward; side-network recipes freeze the trunk anyway).
+    """
+    dec = params["decoder"]
+    side = cfg.side_network
+    sp = params["decoder_side"]
+    t = tokens.shape[1]
+    x = dec["token_emb"][tokens] + dec["pos_emb"][:t]
+    x = x.astype(cfg.compute_dtype)
+
+    def body(carry, layer_params):
+        h = carry
+        h, _ = residual_block(
+            layer_params, h, xa, causal=True, n_head=cfg.n_text_head, cfg=cfg
+        )
+        return h, h
+
+    _, layer_outs = jax.lax.scan(body, x, dec["blocks"])
+
+    side_cfg = dataclasses.replace(cfg, adapter=False, pe_attention=False)
+    h_side = linear(x, sp["downsample_input"])
+    xa_side = linear(xa, sp["downsample_encoder_input"])
+    for i, layer_idx in enumerate(side.layers):
+        down = linear(layer_outs[layer_idx], jax.tree.map(lambda a: a[i], sp["downsample_layers"]))
+        g = jax.nn.sigmoid(sp["gates"][i]).astype(down.dtype)
+        h_side = (1.0 - g) * down + g * h_side
+        h_side, _ = residual_block(
+            jax.tree.map(lambda a: a[i], sp["blocks"]), h_side, xa_side,
+            causal=True, n_head=side.n_head, cfg=side_cfg,
+        )
+    h_side = linear(h_side, sp["upsample_output"])
+    return layer_norm(h_side, sp["ln"])
+
+
+# ---------------------------------------------------------------------------
+# decoder (incremental, KV-cached) — the reference recomputes the full prefix
+# every step (whisper_decoder.py:192-194, "cache implementation is ignored");
+# here decoding is O(T) per step with preallocated static-shape caches.
+# ---------------------------------------------------------------------------
+
+
+def precompute_cross_kv(params: Params, cfg: WhisperConfig, audio_feats: jax.Array) -> Params:
+    """Per-layer cross-attention K/V from encoder output, computed once.
+
+    Returns dict with k/v stacked (n_layers, B, T_audio, d)."""
+    xa = audio_feats.astype(cfg.compute_dtype)
+
+    def body(_, layer_params):
+        ca = layer_params["cross_attn"]
+        return 0, (linear(xa, ca["key"]), linear(xa, ca["value"]))
+
+    _, (k, v) = jax.lax.scan(body, 0, params["decoder"]["blocks"])
+    return {"k": k, "v": v}
+
+
+def init_self_kv_cache(cfg: WhisperConfig, batch: int, max_len: int | None = None) -> Params:
+    max_len = max_len or cfg.n_text_ctx
+    shape = (cfg.n_text_layer, batch, max_len, cfg.n_text_state)
+    cache = {
+        "k": jnp.zeros(shape, cfg.compute_dtype),
+        "v": jnp.zeros(shape, cfg.compute_dtype),
+    }
+    if cfg.pe_attention:
+        cache["k_cs"] = jnp.zeros(shape, cfg.compute_dtype)
+    return cache
+
+
+def whisper_decode_step(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jax.Array,
+    pos: jax.Array,
+    self_kv: Params,
+    cross_kv: Params,
+) -> tuple[jax.Array, Params]:
+    """One AR decode step with KV cache.
+
+    Args:
+      tokens: (B,) int32 current-step token ids.
+      pos: scalar int32 current position (0-based).
+      self_kv: {"k","v"} (L, B, max_len, d) caches; positions >= pos are
+        ignored via masking.
+      cross_kv: from `precompute_cross_kv`.
+
+    Returns (logits (B, n_vocab) fp32, updated self_kv).
+    """
+    dec = params["decoder"]
+    b = tokens.shape[0]
+    max_len = self_kv["k"].shape[2]
+    n_head = cfg.n_text_head
+    d_head = cfg.d_text_head
+    scale = d_head ** -0.25
+
+    x = dec["token_emb"][tokens] + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, 0)
+    x = x.astype(cfg.compute_dtype)[:, None, :]  # (B, 1, d)
+
+    # key-position validity mask: positions 0..pos inclusive
+    pos_ids = jnp.arange(max_len)
+    key_mask = (pos_ids <= pos)[None, None, None, :]  # (1,1,1,max_len)
+
+    def body(carry, scanned):
+        h = carry
+        layer_params, ckv_k, ckv_v, kv_slice = scanned
+
+        # --- self-attention with cache ---
+        p_attn = layer_params["attn"]
+        y = layer_norm(h, layer_params["attn_ln"])
+        q = linear(y, p_attn["query"])
+        k_new = linear(y, p_attn["key"])
+        v_new = linear(y, p_attn["value"])
+
+        k_cache = jax.lax.dynamic_update_slice(kv_slice["k"], k_new, (0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(kv_slice["v"], v_new, (0, pos, 0))
+        new_slice = {"k": k_cache, "v": v_cache}
+
+        qh = _split_heads(q, n_head) * scale  # (B, h, 1, dh)
+        kh = _split_heads(k_cache, n_head) * scale  # (B, h, max_len, dh)
+        vh = _split_heads(v_cache, n_head)
+        qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+        if cfg.pe_attention:
+            # gated dual-QK mix (model.py:156-179) with a second key cache
+            q_cs = linear(y, p_attn["query_cs"])
+            k_cs_new = linear(y, p_attn["key_cs"])
+            k_cs_cache = jax.lax.dynamic_update_slice(
+                kv_slice["k_cs"], k_cs_new, (0, pos, 0)
+            )
+            new_slice["k_cs"] = k_cs_cache
+            qh_cs = _split_heads(q_cs, n_head) * scale
+            kh_cs = _split_heads(k_cs_cache, n_head) * scale
+            qk_cs = jnp.einsum("bhqd,bhkd->bhqk", qh_cs, kh_cs).astype(jnp.float32)
+            g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32)).reshape(1, n_head, 1, 1)
+            qk = (1.0 - g) * qk + g * qk_cs
+        qk = jnp.where(key_mask, qk, -jnp.inf)
+        w = jax.nn.softmax(qk, axis=-1).astype(vh.dtype)
+        attn = linear(_merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, vh)), p_attn["out"])
+        h = h + attn
+        if cfg.adapter:
+            h = adapter_fwd(layer_params["adapter_attn"], h)
+            h = layer_norm(h, layer_params["adapter_attn_ln"])
+
+        # --- cross-attention with precomputed K/V ---
+        p_cross = layer_params["cross_attn"]
+        y = layer_norm(h, layer_params["cross_attn_ln"])
+        qc = _split_heads(linear(y, p_cross["query"]), n_head) * scale
+        kc = _split_heads(ckv_k, n_head) * scale
+        vc = _split_heads(ckv_v, n_head)
+        qkc = jnp.einsum("bhqd,bhkd->bhqk", qc, kc).astype(jnp.float32)
+        wc = jax.nn.softmax(qkc, axis=-1).astype(vc.dtype)
+        cross = linear(_merge_heads(jnp.einsum("bhqk,bhkd->bhqd", wc, vc)), p_cross["out"])
+        h = h + cross
+
+        h = h + mlp_fwd(layer_params["mlp"], layer_norm(h, layer_params["mlp_ln"]))
+        if cfg.adapter:
+            h = adapter_fwd(layer_params["adapter_mlp"], h)
+            h = layer_norm(h, layer_params["adapter_mlp_ln"])
+
+        return h, new_slice
+
+    x, new_kv = jax.lax.scan(
+        body, x, (params["decoder"]["blocks"], cross_kv["k"], cross_kv["v"], self_kv)
+    )
+
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.dot(x[:, 0, :], dec["token_emb"].T.astype(x.dtype)).astype(jnp.float32)
+    return logits, new_kv
