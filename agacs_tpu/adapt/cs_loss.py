@@ -1,0 +1,158 @@
+"""Attention-guided code-switching loss, computed from language COLUMNS only.
+
+The reference materializes every decoder self-attention map
+(layer, B, head, T, T) and then reads just two columns — the <|zh|>/<|en|>
+prompt positions — in `calculate_cs_loss`
+(`espnet2/asr/espnet_model.py:463-530`, slicing `[..., 1:3]` at :506).
+Here the model already emits exactly those two pre-softmax score columns
+(`whisper_decode(..., collect_lang_cols=True)` → `qk_cols`:
+(L, B, h, T, 2)), so the loss is O(T) per head instead of O(T²) and no
+map transfer/materialization happens at all.
+
+Semantics replicated exactly (same target pattern, inf masking,
+per-head nonzero-mean, head mask, batch-mean-of-head-sum):
+
+  target rows (c = c_val_attention, default 0.6 — note these are values on
+  the PRE-SOFTMAX logit scale):
+    prompt:  [[0,0], [c,0], [0,c], [0,0], [0,0]]   (sot, zh, en, task, nots)
+    text:    [c,0] for Mandarin tokens, [0,c] for English tokens,
+             [c,c] for space-only tokens and the first <|endoftext|>
+    padding: [inf, inf]  (masked out)
+
+  English-ness of a token = all chars ASCII letters after removing the
+  byte-level space marker (espnet_model.py:234-235) — punctuation counts
+  as Mandarin, exactly like the reference.
+
+The token→language attribution runs on host (`attention_target_labels`,
+tokenizer is not jittable); the loss itself is pure jnp and jit/pjit-safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from agacs_tpu.text.tokenizer import WhisperTokenizer
+
+# per-row language labels (host-computed, device-consumed)
+LANG_NONE = 0  # target [0, 0]
+LANG_ZH = 1    # target [c, 0]
+LANG_EN = 2    # target [0, c]
+LANG_BOTH = 3  # target [c, c] (space-only tokens, first <|endoftext|>)
+LANG_PAD = 4   # target [inf, inf] -> masked
+
+# The shipped hardcoded 50%-of-heads mask (espnet_model.py:514-527);
+# layers 0-2 are fully off. Kept for bit-parity runs; the first-class path
+# uses masks produced by adapt.head_selection.select_heads.
+REFERENCE_50PCT_HEAD_MASK = np.array(
+    [
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1, 1, 1, 0, 1, 1, 0, 0, 1, 1, 1],
+        [0, 0, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1],
+        [1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 0, 1],
+        [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0],
+        [0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+        [1, 0, 0, 1, 1, 0, 1, 0, 1, 0, 1, 0],
+        [1, 1, 1, 1, 0, 0, 1, 0, 0, 0, 1, 0],
+        [1, 1, 1, 1, 1, 0, 1, 0, 1, 0, 0, 1],
+        [0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 1],
+    ],
+    dtype=np.float32,
+)
+
+
+def attention_target_labels(
+    ys_in: np.ndarray,
+    tokenizer: WhisperTokenizer,
+    prompt_len: int = 5,
+) -> np.ndarray:
+    """Per-row language labels for a batch of decoder input ids.
+
+    Args:
+      ys_in: (B, T) int array — sos-prefixed decoder inputs (the reference
+        passes `ys_in_pad`, espnet_model.py:945), eos-padded.
+      tokenizer: for id→token-string conversion (language attribution).
+      prompt_len: rows reserved for the prompt (espnet_model.py:241).
+
+    Returns (B, T) int8 labels. Row i<prompt_len gets the fixed prompt
+    labels [NONE, ZH, EN, NONE, NONE]; the first <|endoftext|> gets BOTH
+    and everything after it PAD (espnet_model.py:246-258).
+    """
+    ys_in = np.asarray(ys_in)
+    b, t = ys_in.shape
+    labels = np.full((b, t), LANG_PAD, dtype=np.int8)
+    prompt_labels = [LANG_NONE, LANG_ZH, LANG_EN, LANG_NONE, LANG_NONE]
+    eot = tokenizer.special.eot
+    for i in range(b):
+        labels[i, : min(prompt_len, t)] = prompt_labels[: min(prompt_len, t)]
+        for j in range(prompt_len, t):
+            tid = int(ys_in[i, j])
+            if tid == eot:
+                labels[i, j] = LANG_BOTH
+                break
+            tok = tokenizer.id_to_token(tid)
+            stripped = tok.replace("Ġ", "")
+            if stripped == "":
+                labels[i, j] = LANG_BOTH
+            elif WhisperTokenizer.token_is_english(tok):
+                labels[i, j] = LANG_EN
+            else:
+                labels[i, j] = LANG_ZH
+    return labels
+
+
+def targets_from_labels(labels: jnp.ndarray, c_val: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """labels (B, T) -> (targets (B, T, 2), valid (B, T)) on device."""
+    lut = jnp.array(
+        [[0.0, 0.0], [c_val, 0.0], [0.0, c_val], [c_val, c_val], [0.0, 0.0]],
+        jnp.float32,
+    )
+    targets = lut[labels]
+    valid = (labels != LANG_PAD).astype(jnp.float32)
+    return targets, valid
+
+
+def cs_attention_loss(
+    qk_cols: jnp.ndarray,
+    labels: jnp.ndarray,
+    head_mask: jnp.ndarray,
+    c_val: float = 0.6,
+) -> jnp.ndarray:
+    """The shipped CS loss (espnet_model.py:463-530) from score columns.
+
+    Args:
+      qk_cols: (L, B, h, T, 2) pre-softmax self-attn scores at the zh/en
+        columns, with -inf where causally masked (rows 0-1 of the prompt).
+      labels: (B, T) int labels from `attention_target_labels`.
+      head_mask: (L, h) 0/1 float — selected heads.
+      c_val: target attention value on the logit scale (c_val_attention).
+
+    Returns scalar loss = mean over batch of Σ_{layer,head} masked
+    per-head mean-over-nonzero-rows of Σ_cols (map - target)².
+    """
+    targets, valid = targets_from_labels(labels, c_val)  # (B,T,2), (B,T)
+
+    maps = jnp.transpose(qk_cols, (1, 0, 2, 3, 4))  # (B, L, h, T, 2)
+    tgt = targets[:, None, None, :, :]  # (B,1,1,T,2)
+    row_valid = valid[:, None, None, :]  # (B,1,1,T)
+
+    # inf handling (espnet_model.py:496-499): zero the map where the target
+    # is inf (pad rows) or the map itself is -inf (causal); zero inf targets.
+    maps = jnp.where(jnp.isfinite(maps), maps, 0.0)
+    maps = maps * row_valid[..., None]
+    tgt = tgt * row_valid[..., None]
+
+    sq = (maps - tgt) ** 2  # (B, L, h, T, 2)
+    row_loss = jnp.sum(sq, axis=-1)  # (B, L, h, T)
+
+    nonzero = jnp.sum((row_loss != 0.0).astype(jnp.float32), axis=-1)  # (B,L,h)
+    total = jnp.sum(row_loss, axis=-1)
+    # reference divides by count_nonzero (nan when 0, espnet_model.py:512);
+    # we guard the 0 case to keep training finite.
+    per_head = jnp.where(nonzero > 0, total / jnp.maximum(nonzero, 1.0), 0.0)
+
+    masked = per_head * head_mask[None, :, :].astype(per_head.dtype)
+    return jnp.mean(jnp.sum(masked, axis=(-1, -2)))

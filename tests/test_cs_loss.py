@@ -1,0 +1,155 @@
+"""CS loss / head counting parity vs a literal torch oracle of
+espnet_model.py:463-530 (calculate_cs_loss) and :285-310 (head counting
+intent), on synthetic attention maps."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from agacs_tpu.adapt import (
+    LANG_BOTH,
+    LANG_EN,
+    LANG_PAD,
+    LANG_ZH,
+    attention_target_labels,
+    count_language_heads,
+    cs_attention_loss,
+    select_heads,
+)
+from agacs_tpu.adapt.head_selection import load_counts, save_counts
+from agacs_tpu.text import WhisperTokenIdConverter, WhisperTokenizer
+
+L, B, H, T = 4, 3, 5, 12  # layers, batch, heads, seq (parameterized shapes)
+C_VAL = 0.6
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WhisperTokenizer()
+
+
+def _make_ys_in(tok):
+    """sos-prefixed, eos-padded decoder inputs like add_sos_eos output."""
+    conv = WhisperTokenIdConverter(tok)
+    texts = ["我们 go", "hello 你", "了"]
+    seqs = []
+    for t in texts:
+        ids = conv.tokens2ids(tok.text2tokens(t))  # prefix + ids + eot
+        seqs.append([tok.special.sot] + ids)
+    maxlen = T
+    out = np.full((len(seqs), maxlen), tok.special.eot, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s[:maxlen]
+    return out
+
+
+def _torch_oracle_pattern(ys_in_row, tok, c=C_VAL):
+    """create_attention_pattern (espnet_model.py:236-275), literally."""
+    import torch
+
+    token_list = [tok.id_to_token(int(i)) for i in ys_in_row]
+    prompt_index = 5
+    lid = []
+    lid_len = 0
+    for t in token_list[prompt_index:]:
+        if t == "<|endoftext|>":
+            lid.append([c, c])
+            lid_len += 1
+            break
+        elif t.replace("Ġ", "") == "":
+            lid.append([c, c])
+        else:
+            is_en = 1 if WhisperTokenizer.token_is_english(t) else 0
+            lid.append([0.0 if is_en else c, c if is_en else 0.0])
+        lid_len += 1
+    prompt = torch.tensor(
+        [[0.0, 0.0], [c, 0.0], [0.0, c], [0.0, 0.0], [0.0, 0.0]]
+    )
+    lid_t = torch.tensor(lid, dtype=torch.float)
+    pad = torch.full((len(ys_in_row) - prompt_index - lid_len, 2), torch.inf)
+    return torch.cat([prompt, lid_t, pad])
+
+
+def _torch_oracle_loss(maps, ys_in, tok, head_mask, c=C_VAL):
+    """calculate_cs_loss (espnet_model.py:463-530), literally, on full maps
+    (maps: torch (L, B, H, T, T) pre-softmax with -inf causal entries)."""
+    import torch
+
+    pattern = torch.stack([_torch_oracle_pattern(r, tok, c) for r in ys_in])  # (B,T,2)
+    att = maps.permute(1, 0, 2, 3, 4).clone().float()  # (B,L,H,T,T)
+    full_pat = torch.zeros(att.shape[0], att.shape[1], att.shape[3], att.shape[4])
+    full_pat[:, :, :, 1:3] = pattern.unsqueeze(1).expand(-1, att.shape[1], -1, -1)
+    rep = full_pat.unsqueeze(2).expand(-1, -1, att.shape[2], -1, -1).clone()
+    att[torch.isinf(rep)] = 0.0
+    att[torch.isinf(att)] = 0.0
+    rep[torch.isinf(rep)] = 0.0
+    mse = (att[..., 1:3] - rep[..., 1:3]) ** 2
+    row = mse.sum(dim=-1)  # (B,L,H,T)
+    per_head = row.sum(dim=-1) / torch.count_nonzero(row, dim=-1)
+    masked = torch.as_tensor(head_mask)[None] * per_head
+    return float(torch.mean(torch.sum(masked, dim=[-1, -2])))
+
+
+def _synthetic_maps(rng):
+    """(L,B,H,T,T) logits with -inf strict-upper-triangle (causal mask)."""
+    import torch
+
+    maps = torch.from_numpy(rng.randn(L, B, H, T, T).astype(np.float32))
+    causal = torch.triu(torch.full((T, T), float("-inf")), diagonal=1)
+    return maps + causal
+
+
+def test_labels(tok):
+    ys_in = _make_ys_in(tok)
+    labels = attention_target_labels(ys_in, tok)
+    # prompt rows
+    assert labels[0, :5].tolist() == [0, LANG_ZH, LANG_EN, 0, 0]
+    # first eot -> BOTH, following padding -> PAD
+    for i in range(len(ys_in)):
+        eots = np.where(ys_in[i] == tok.special.eot)[0]
+        first = eots[0]
+        assert labels[i, first] == LANG_BOTH
+        assert (labels[i, first + 1 :] == LANG_PAD).all()
+
+
+def test_cs_loss_matches_reference_oracle(tok):
+    rng = np.random.RandomState(7)
+    maps = _synthetic_maps(rng)
+    ys_in = _make_ys_in(tok)
+    head_mask = (rng.rand(L, H) > 0.5).astype(np.float32)
+
+    expected = _torch_oracle_loss(maps, ys_in, tok, head_mask)
+
+    qk_cols = jnp.asarray(maps.numpy()[..., 1:3])  # model emits only these
+    labels = attention_target_labels(ys_in, tok)
+    got = float(
+        cs_attention_loss(qk_cols, jnp.asarray(labels), jnp.asarray(head_mask))
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_head_counting_and_selection():
+    # heads 0,1 attend overwhelmingly to the language columns
+    p_cols = np.zeros((L, B, H, T, 2), np.float32)
+    p_cols[:, :, 0, :, :] = 0.45  # 0.9 mass per row on lang cols
+    p_cols[:, :, 1, :, :] = 0.30  # 0.6 mass
+    p_cols[:, :, 2, :, :] = 0.20  # 0.4 mass -> not selected
+    counts = np.asarray(count_language_heads(jnp.asarray(p_cols)))
+    assert (counts[:, 0] == B).all() and (counts[:, 1] == B).all()
+    assert (counts[:, 2:] == 0).all()
+
+    mask = select_heads(counts, head_percentage=100.0)
+    assert mask.shape == (L, H)
+    assert mask[:, :2].all() and not mask[:, 2:].any()
+
+    # 50% keeps the top half of the nonzero pool
+    half = select_heads(counts, head_percentage=50.0)
+    assert half.sum() == (counts > 0).sum() // 2
+
+
+def test_counts_roundtrip(tmp_path):
+    counts = np.arange(12).reshape(3, 4)
+    p = tmp_path / "counts.json"
+    save_counts(str(p), counts)
+    np.testing.assert_array_equal(load_counts(str(p)), counts)

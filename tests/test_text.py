@@ -1,0 +1,86 @@
+"""Tokenizer/converter parity vs the reference's bundled whisper tokenizer."""
+
+import numpy as np
+import pytest
+
+from agacs_tpu.text import (
+    BasicTextNormalizer,
+    WhisperTokenIdConverter,
+    WhisperTokenizer,
+)
+from reference_oracle import import_reference_whisper
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WhisperTokenizer()
+
+
+@pytest.fixture(scope="module")
+def ref_tok():
+    import_reference_whisper()
+    import whisper.tokenizer as wt
+
+    return wt.get_tokenizer(multilingual=True, language="zh", task="transcribe")
+
+
+SAMPLES = [
+    "hello world",
+    "我们 today 去 shopping 吧",
+    "this is a mixed 语码转换 sentence with punctuation, right?",
+    "  leading spaces and CAPS",
+]
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_encode_parity_with_reference(tok, ref_tok, text):
+    assert tok.encode(text) == ref_tok.encoding.encode(text)
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_roundtrip(tok, text):
+    assert tok.decode(tok.encode(text)) == text
+
+
+def test_special_ids(tok):
+    sp = tok.special
+    assert sp.sot == 50258 and sp.eot == 50257
+    assert sp.lang_id("zh") == 50260 and sp.lang_id("en") == 50259
+    assert sp.transcribe == 50359 and sp.no_timestamps == 50363
+    assert tok.id_to_token(50258) == "<|startoftranscript|>"
+    assert tok.token_to_id("<|zh|>") == 50260
+
+
+def test_converter_prefix_and_eot(tok):
+    conv = WhisperTokenIdConverter(tok)
+    tokens = tok.text2tokens("我 am here")
+    ids = conv.tokens2ids(tokens)
+    # zh, en, transcribe, notimestamps prefix + eot suffix
+    # (whisper_token_id_converter.py:60-64)
+    assert ids[:4] == [50260, 50259, 50359, 50363]
+    assert ids[-1] == 50257
+    assert conv.get_num_vocabulary_size() == 51865
+    # ids2tokens strips specials
+    back = conv.ids2tokens(ids)
+    assert back == tokens
+
+
+def test_token_string_byte_repr(tok):
+    ids = tok.encode(" world")
+    toks = [tok.id_to_token(i) for i in ids]
+    assert toks[0].startswith("Ġ")  # byte-level space marker
+    assert tok.tokens2text(toks) == " world"
+
+
+def test_is_english_attribution(tok):
+    assert WhisperTokenizer.token_is_english("Ġworld")
+    assert WhisperTokenizer.token_is_english("hello")
+    assert not WhisperTokenizer.token_is_english("Ġworld,")  # punctuation -> not EN
+    zh_toks = tok.text2tokens("你好")
+    assert all(not WhisperTokenizer.token_is_english(t) for t in zh_toks)
+
+
+def test_basic_normalizer():
+    norm = BasicTextNormalizer()
+    assert norm("Hello, World! (noise) [um]") == "hello world"
+    assert norm("你好，世界。") == "你好 世界"
