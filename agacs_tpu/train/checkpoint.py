@@ -1,0 +1,177 @@
+"""Checkpointing: epoch snapshots, best/latest tracking, n-best averaging.
+
+Replicates the reference scheme (`trainer.py:357-477`,
+`main_funcs/average_nbest_models.py`): per-epoch checkpoint with model +
+optimizer + reporter state, `latest` / `<phase>.<metric>.best` pointers,
+prune-to-nbest, and state-dict averaging of the k best epochs into
+`valid.acc.ave` — but with numpy-npz storage keyed by pytree paths
+(portable, no torch dependency).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _flatten_with_names(tree: Any) -> list[tuple[str, np.ndarray]]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+
+    def name(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    return [(name(kp), np.asarray(v)) for kp, v in flat]
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    pairs = _flatten_with_names(tree)
+    np.savez(path, **{k: v for k, v in pairs})
+
+
+def load_pytree_like(path: str, template: Any) -> Any:
+    """Load a npz into the structure of `template` (names must match)."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+
+    def name(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    leaves = []
+    for kp, tmpl in flat:
+        arr = data[name(kp)]
+        leaves.append(jax.numpy.asarray(arr, dtype=tmpl.dtype))
+    return jax.tree_util.tree_unflatten(treedef, [l for l in leaves])
+
+
+def save_opt_state(path: str, opt_state: Any) -> None:
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    np.savez(path, **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)})
+
+
+def load_opt_state_like(path: str, template: Any) -> Any:
+    data = np.load(path)
+    leaves = jax.tree_util.tree_leaves(template)
+    treedef = jax.tree_util.tree_structure(template)
+    out = [
+        jax.numpy.asarray(data[f"leaf_{i}"], dtype=np.asarray(t).dtype)
+        for i, t in enumerate(leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+class CheckpointManager:
+    """Experiment-dir layout:
+
+      exp_dir/
+        checkpoint_meta.json      resume metadata (epoch, step, rng, history)
+        {n}epoch.params.npz       per-epoch params
+        checkpoint.params.npz     latest params (resume point)
+        checkpoint.opt.npz        latest optimizer state
+        valid.acc.ave.params.npz  n-best average (written by average_nbest)
+    """
+
+    def __init__(self, exp_dir: str, keep_nbest: int = 3,
+                 criterion: tuple[str, str, str] = ("valid", "acc", "max")):
+        self.exp_dir = exp_dir
+        self.keep_nbest = keep_nbest
+        self.criterion = tuple(criterion)
+        os.makedirs(exp_dir, exist_ok=True)
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.exp_dir, "checkpoint_meta.json")
+
+    def save_epoch(self, epoch: int, state, history: dict) -> None:
+        """history: {epoch: {"valid": {...}, "train": {...}}}."""
+        p = os.path.join(self.exp_dir, f"{epoch}epoch.params.npz")
+        save_pytree(p, state.params)
+        save_pytree(os.path.join(self.exp_dir, "checkpoint.params.npz"), state.params)
+        save_opt_state(os.path.join(self.exp_dir, "checkpoint.opt.npz"), state.opt_state)
+        meta = {
+            "epoch": epoch,
+            "step": int(state.step),
+            "rng": np.asarray(state.rng).tolist(),
+            "history": {str(k): v for k, v in history.items()},
+        }
+        with open(self._meta_path(), "w") as f:
+            json.dump(meta, f, indent=1)
+        self._prune(history)
+
+    def load_meta(self) -> dict | None:
+        if not os.path.exists(self._meta_path()):
+            return None
+        with open(self._meta_path()) as f:
+            return json.load(f)
+
+    def resume(self, state, tx=None):
+        """Restore latest checkpoint into `state` (template for structure).
+        Returns (state, start_epoch, history) — mirrors --resume true
+        (trainer.py:133-158)."""
+        import jax.numpy as jnp
+
+        meta = self.load_meta()
+        if meta is None:
+            return state, 1, {}
+        params = load_pytree_like(
+            os.path.join(self.exp_dir, "checkpoint.params.npz"), state.params
+        )
+        opt_state = load_opt_state_like(
+            os.path.join(self.exp_dir, "checkpoint.opt.npz"), state.opt_state
+        )
+        import dataclasses
+
+        state = dataclasses.replace(
+            state,
+            params=params,
+            opt_state=opt_state,
+            step=jnp.asarray(meta["step"], jnp.int32),
+            rng=jnp.asarray(np.asarray(meta["rng"], np.uint32)),
+        )
+        history = {int(k): v for k, v in meta["history"].items()}
+        return state, meta["epoch"] + 1, history
+
+    def _ranked_epochs(self, history: dict) -> list[int]:
+        phase, metric, mode = self.criterion
+        scored = [
+            (ep, vals[phase][metric])
+            for ep, vals in history.items()
+            if phase in vals and metric in vals[phase]
+        ]
+        scored.sort(key=lambda x: x[1], reverse=(mode == "max"))
+        return [ep for ep, _ in scored]
+
+    def best_epoch(self, history: dict) -> int | None:
+        ranked = self._ranked_epochs(history)
+        return ranked[0] if ranked else None
+
+    def _prune(self, history: dict) -> None:
+        """Remove per-epoch snapshots outside the n-best (trainer.py:417-447)."""
+        keep = set(self._ranked_epochs(history)[: self.keep_nbest])
+        for fname in os.listdir(self.exp_dir):
+            if fname.endswith("epoch.params.npz"):
+                ep = int(fname.split("epoch")[0])
+                if ep not in keep:
+                    os.remove(os.path.join(self.exp_dir, fname))
+
+    def average_nbest(self, history: dict, template) -> Any:
+        """Mean of the n best epochs' params -> valid.acc.ave
+        (average_nbest_models.py)."""
+        eps = self._ranked_epochs(history)[: self.keep_nbest]
+        assert eps, "no scored epochs to average"
+        acc = None
+        for ep in eps:
+            p = load_pytree_like(
+                os.path.join(self.exp_dir, f"{ep}epoch.params.npz"), template
+            )
+            if acc is None:
+                acc = jax.tree.map(lambda x: x.astype(np.float32), p)
+            else:
+                acc = jax.tree.map(lambda a, x: a + x.astype(np.float32), acc, p)
+        avg = jax.tree.map(lambda a: a / len(eps), acc)
+        phase, metric, _ = self.criterion
+        out = os.path.join(self.exp_dir, f"{phase}.{metric}.ave.params.npz")
+        save_pytree(out, avg)
+        return avg

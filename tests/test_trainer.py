@@ -1,0 +1,175 @@
+"""Trainer smoke tests on the 8-device CPU mesh: data-parallel sharded
+training step with CS loss, freeze presets, grad accumulation,
+checkpointing, n-best averaging."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.adapt import attention_target_labels
+from agacs_tpu.models.asr_model import ASRModelConfig, forward, init_asr_params
+from agacs_tpu.models.whisper import WhisperConfig
+from agacs_tpu.parallel import make_mesh, shard_batch, shard_params
+from agacs_tpu.text import WhisperTokenIdConverter, WhisperTokenizer
+from agacs_tpu.train.checkpoint import CheckpointManager, load_pytree_like
+from agacs_tpu.train.freeze import count_trainable, trainable_mask
+from agacs_tpu.train.optim import OptimConfig
+from agacs_tpu.train.trainer import (
+    TrainState,
+    build_tx,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+TINY_WHISPER = WhisperConfig(
+    n_mels=80, n_audio_ctx=32, n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+    n_vocab=51865, n_text_ctx=32, n_text_state=64, n_text_head=4, n_text_layer=2,
+    adapter=True,
+)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WhisperTokenizer()
+
+
+def _batch(tok, b=8, accum=None):
+    """Synthetic batch: ~0.64 s of audio -> 64 frames -> 32 enc positions."""
+    rng = np.random.RandomState(0)
+    conv = WhisperTokenIdConverter(tok)
+    s = 64 * 160
+    speech = (rng.randn(b, s) * 0.05).astype(np.float32)
+    speech_lengths = np.full((b,), s, np.int32)
+    texts = ["我们 go", "hello 你", "好 ok", "去 shop"] * (b // 4)
+    ids = [conv.tokens2ids(tok.text2tokens(t)) for t in texts]
+    tmax = max(len(x) for x in ids)
+    text = np.full((b, tmax), -1, np.int64)
+    for i, x in enumerate(ids):
+        text[i, : len(x)] = x
+    # labels aligned with ys_in = [sot] + text(eos-padded)
+    ys_in = np.concatenate(
+        [np.full((b, 1), 50258), np.where(text == -1, 50257, text)], axis=1
+    )
+    cs_labels = attention_target_labels(ys_in, tok)
+    batch = {
+        "speech": jnp.asarray(speech),
+        "speech_lengths": jnp.asarray(speech_lengths),
+        "text": jnp.asarray(text.astype(np.int32)),
+        "cs_labels": jnp.asarray(cs_labels),
+    }
+    if accum:
+        batch = jax.tree.map(
+            lambda x: x.reshape(accum, b // accum, *x.shape[1:]), batch
+        )
+    return batch
+
+
+def _cfg(**kw):
+    return ASRModelConfig(whisper=TINY_WHISPER, cs_weight=0.01, use_specaug=True, **kw)
+
+
+def test_train_step_dp_sharded(tok):
+    cfg = _cfg()
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_data=8)
+    params = shard_params(mesh, params)
+
+    tx, mask = build_tx(params, OptimConfig(warmup_steps=4), freeze_preset="adapter")
+    n_train, n_total = count_trainable(params, mask)
+    assert 0 < n_train < n_total
+
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx)
+
+    frozen_before = np.asarray(state.params["decoder"]["token_emb"])
+    adapter_before = np.asarray(
+        state.params["decoder"]["blocks"]["adapter_attn"]["down"]["w"]
+    )
+
+    batch = shard_batch(mesh, _batch(tok))
+    losses = []
+    for _ in range(3):
+        state, stats = step(state, batch)
+        losses.append(float(stats["loss"]))
+
+    assert all(np.isfinite(losses))
+    assert "loss_cs" in stats and np.isfinite(float(stats["loss_cs"]))
+    # frozen leaves unchanged, adapters updated
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder"]["token_emb"]), frozen_before
+    )
+    assert not np.allclose(
+        np.asarray(state.params["decoder"]["blocks"]["adapter_attn"]["down"]["w"]),
+        adapter_before,
+    )
+    # training reduces the loss on a fixed batch
+    assert losses[-1] < losses[0]
+
+
+def test_grad_accum_matches_big_batch(tok):
+    cfg = dataclasses.replace(_cfg(), use_specaug=False)
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = build_tx(params, OptimConfig(warmup_steps=4), freeze_preset=None,
+                     skip_nonfinite=False)
+
+    s0 = create_train_state(params, tx, jax.random.PRNGKey(1))
+    big = make_train_step(cfg, tx, accum_grad=1, donate=False)
+    _, stats_big = big(s0, _batch(tok, b=8))
+
+    s1 = create_train_state(params, tx, jax.random.PRNGKey(1))
+    acc = make_train_step(cfg, tx, accum_grad=2, donate=False)
+    _, stats_acc = acc(s1, _batch(tok, b=8, accum=2))
+
+    np.testing.assert_allclose(
+        float(stats_big["loss"]), float(stats_acc["loss"]), rtol=1e-5
+    )
+
+
+def test_eval_step(tok):
+    cfg = _cfg()
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    ev = make_eval_step(cfg)
+    stats = ev(params, _batch(tok))
+    assert np.isfinite(float(stats["loss"]))
+    assert 0.0 <= float(stats["acc"]) <= 1.0
+
+
+def test_checkpoint_manager_nbest(tok, tmp_path):
+    cfg = _cfg()
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = build_tx(params, OptimConfig(), freeze_preset="adapter")
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+
+    mgr = CheckpointManager(str(tmp_path), keep_nbest=2)
+    history = {}
+    for ep, acc in [(1, 0.1), (2, 0.5), (3, 0.3)]:
+        history[ep] = {"valid": {"acc": acc}}
+        state = dataclasses.replace(state, step=state.step + 1)
+        mgr.save_epoch(ep, state, history)
+
+    # pruned to 2 best (epochs 2, 3)
+    import os
+
+    kept = sorted(f for f in os.listdir(tmp_path) if f.endswith("epoch.params.npz"))
+    assert kept == ["2epoch.params.npz", "3epoch.params.npz"]
+    assert mgr.best_epoch(history) == 2
+
+    avg = mgr.average_nbest(history, state.params)
+    assert jax.tree.structure(avg) == jax.tree.structure(state.params)
+
+    # resume restores step
+    state2, start_ep, hist2 = mgr.resume(state)
+    assert start_ep == 4 and int(state2.step) == int(state.step)
+    assert hist2[2]["valid"]["acc"] == 0.5
+
+    # params roundtrip exactly
+    p = load_pytree_like(str(tmp_path / "3epoch.params.npz"), state.params)
+    np.testing.assert_array_equal(
+        np.asarray(p["encoder"]["conv1"]["b"]),
+        np.asarray(state.params["encoder"]["conv1"]["b"]),
+    )
