@@ -1,0 +1,87 @@
+"""Decoding tests: greedy vs teacher-forced consistency, beam search
+properties, Speech2Text end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.decode import beam_decode, greedy_decode
+from agacs_tpu.decode.speech2text import Speech2Text
+from agacs_tpu.models.asr_model import ASRModelConfig, init_asr_params
+from agacs_tpu.models.whisper import WhisperConfig, init_whisper_params, whisper_decode
+
+TINY = WhisperConfig(
+    n_mels=80, n_audio_ctx=32, n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+    n_vocab=51865, n_text_ctx=64, n_text_state=64, n_text_head=4, n_text_layer=2,
+)
+PRIMER = (50258, 50260, 50259, 50359, 50363)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_whisper_params(jax.random.PRNGKey(0), TINY)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 64), jnp.float32)
+    return params, enc
+
+
+def test_greedy_matches_stepwise_teacher_forcing(setup):
+    """Greedy output must be the argmax continuation of its own prefix
+    under the full (non-cached) forward — cache correctness end-to-end."""
+    params, enc = setup
+    tokens, lens = greedy_decode(params, TINY, enc, primer=PRIMER, max_steps=10)
+    tokens = np.asarray(tokens)
+
+    for i in range(2):
+        row = tokens[i : i + 1]
+        logits, _ = whisper_decode(params, TINY, jnp.asarray(row), enc[i : i + 1])
+        preds = np.asarray(jnp.argmax(logits, axis=-1))[0]
+        n = int(lens[i])
+        for pos in range(len(PRIMER) - 1, n - 1):
+            assert preds[pos] == tokens[i, pos + 1], (i, pos)
+
+
+def test_greedy_eot_padding(setup):
+    params, enc = setup
+    tokens, lens = greedy_decode(params, TINY, enc, primer=PRIMER, max_steps=10)
+    tokens = np.asarray(tokens)
+    for i in range(2):
+        n = int(lens[i])
+        if n < tokens.shape[1]:
+            assert (tokens[i, n:] == 50257).all()
+
+
+def test_beam1_equals_greedy(setup):
+    params, enc = setup
+    g_tokens, g_lens = greedy_decode(params, TINY, enc, primer=PRIMER, max_steps=8)
+    b_tokens, b_lens, _ = beam_decode(
+        params, TINY, enc, beam_size=1, primer=PRIMER, max_steps=8
+    )
+    np.testing.assert_array_equal(np.asarray(g_lens), np.asarray(b_lens))
+    for i in range(2):
+        n = int(g_lens[i])
+        np.testing.assert_array_equal(
+            np.asarray(g_tokens)[i, :n], np.asarray(b_tokens)[i, :n]
+        )
+
+
+def test_beam_score_at_least_greedy(setup):
+    """A wider beam must find a hypothesis scoring >= the greedy one."""
+    params, enc = setup
+    _, _, s1 = beam_decode(params, TINY, enc, beam_size=1, primer=PRIMER, max_steps=8)
+    _, _, s4 = beam_decode(params, TINY, enc, beam_size=4, primer=PRIMER, max_steps=8)
+    assert (np.asarray(s4) >= np.asarray(s1) - 1e-4).all()
+
+
+def test_speech2text_end_to_end():
+    cfg = ASRModelConfig(whisper=TINY, use_specaug=False)
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    s2t = Speech2Text(params, cfg, beam_size=1, max_steps=6)
+    audio = np.random.RandomState(0).randn(2, 64 * 160).astype(np.float32) * 0.1
+    results = s2t(audio)
+    assert len(results) == 2
+    for r in results:
+        assert r.tokens[:5] == list(PRIMER)
+        assert isinstance(r.text, str)
+    assert s2t.rtf > 0 and s2t.inverse_rtf > 0
