@@ -1,0 +1,210 @@
+"""Training CLI — the `espnet2.bin.asr_train` equivalent.
+
+  python -m agacs_tpu.bin.train \
+      --config conf/train_whisper_adapter_csloss.yaml \
+      --train_dir data/train --valid_dir data/valid \
+      --exp_dir exp/whisper_2nd [--override model_conf.cs_weight=0.02 ...] \
+      [--freeze_param adapter] [--init_param exp/stage1/valid.acc.ave.params.npz] \
+      [--resume]
+
+Single-process, all local devices via the mesh (the JAX runtime owns
+multi-host coordination; no launcher layer like espnet2/bin/launch.py is
+needed on TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.data import ASRDataset, collate_batch, num_elements_batches
+from agacs_tpu.data.sampler import shard_batches
+from agacs_tpu.models.asr_model import init_asr_params
+from agacs_tpu.models.checkpoint import load_torch_whisper
+from agacs_tpu.parallel import make_mesh, shard_batch, shard_params
+from agacs_tpu.train.checkpoint import CheckpointManager, load_pytree_like
+from agacs_tpu.train.freeze import count_trainable
+from agacs_tpu.train.reporter import Reporter
+from agacs_tpu.train.trainer import (
+    build_tx,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from agacs_tpu.utils.config import (
+    apply_overrides,
+    dump_resolved,
+    load_yaml,
+    model_config_from_dict,
+    optim_config_from_dict,
+    trainer_config_from_dict,
+)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--train_dir", required=True)
+    p.add_argument("--valid_dir", required=True)
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--freeze_param", default=None)
+    p.add_argument("--init_param", default=None,
+                   help=".params.npz checkpoint or OpenAI .pt file")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max_epoch", type=int, default=None)
+    p.add_argument("--batch_bins", type=int, default=None)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--tensor_parallel", type=int, default=1)
+    return p
+
+
+def load_init_params(path: str, params, cfg):
+    """--init_param with --ignore_init_mismatch semantics
+    (abs_task.py:1317-1325): missing/mismatched leaves keep their init."""
+    if path.endswith(".pt") or path.endswith(".pth"):
+        loaded, _ = load_torch_whisper(path, cfg.whisper)
+        return loaded
+    return load_pytree_like(path, params)
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+
+    raw = apply_overrides(load_yaml(args.config), args.override)
+    dtype = getattr(jnp, args.compute_dtype)
+    cfg = model_config_from_dict(raw, compute_dtype=dtype)
+    optim_cfg = optim_config_from_dict(raw)
+    tcfg = trainer_config_from_dict(raw)
+    if args.max_epoch is not None:
+        import dataclasses
+
+        tcfg = dataclasses.replace(tcfg, max_epoch=args.max_epoch)
+    if args.batch_bins is not None:
+        import dataclasses
+
+        tcfg = dataclasses.replace(tcfg, batch_bins=args.batch_bins)
+    freeze = args.freeze_param or tcfg.freeze_param
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    dump_resolved(os.path.join(args.exp_dir, "config.yaml"), raw)
+
+    # data
+    train_ds = ASRDataset(args.train_dir)
+    valid_ds = ASRDataset(args.valid_dir)
+    train_lens = {u: train_ds.num_samples(u) for u in train_ds.utt_ids}
+    valid_lens = {u: valid_ds.num_samples(u) for u in valid_ds.utt_ids}
+    valid_batches = num_elements_batches(valid_lens, tcfg.batch_bins)
+    logging.info(
+        "train: %d utts, valid: %d utts (%d batches)",
+        len(train_ds), len(valid_ds), len(valid_batches),
+    )
+
+    # model/optim
+    rng = jax.random.PRNGKey(tcfg.seed)
+    params = init_asr_params(rng, cfg)
+    init_param = args.init_param or tcfg.init_param
+    if init_param:
+        logging.info("loading init params from %s", init_param)
+        params = load_init_params(init_param, params, cfg)
+
+    mesh = make_mesh(n_model=args.tensor_parallel)
+    params = shard_params(mesh, params, tensor_parallel=args.tensor_parallel > 1)
+
+    tx, mask = build_tx(params, optim_cfg, freeze_preset=freeze)
+    n_train, n_total = count_trainable(params, mask)
+    logging.info(
+        "freeze_param=%s: %.2fM / %.2fM trainable",
+        freeze, n_train / 1e6, n_total / 1e6,
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(tcfg.seed + 1))
+
+    mgr = CheckpointManager(
+        args.exp_dir, keep_nbest=tcfg.keep_nbest_models,
+        criterion=tcfg.best_model_criterion,
+    )
+    history: dict = {}
+    start_epoch = 1
+    if args.resume:
+        state, start_epoch, history = mgr.resume(state)
+        logging.info("resumed at epoch %d", start_epoch)
+
+    train_step = make_train_step(cfg, tx)
+    eval_step = make_eval_step(cfg)
+    reporter = Reporter()
+    reporter.history = history
+
+    def run_batches(ds, batch_ids, sub, step_fn, is_train):
+        nonlocal state
+        for i, utts in enumerate(batch_ids):
+            with sub.measure_time("iter_time"):
+                items = [ds[u] for u in utts]
+                batch = collate_batch(items)
+                batch.pop("utt_ids")
+                batch.pop("text_lengths")
+                batch = shard_batch(mesh, batch)
+                with sub.measure_time("step_time"):
+                    if is_train:
+                        state, stats = step_fn(state, batch)
+                    else:
+                        stats = step_fn(state.params, batch)
+                    stats = {k: float(v) for k, v in stats.items()}
+            sub.register(stats, weight=len(utts))
+            if (i + 1) % tcfg.log_interval == 0:
+                logging.info(
+                    "%s epoch %d batch %d/%d: %s",
+                    sub.phase, sub.epoch, i + 1, len(batch_ids),
+                    ", ".join(f"{k}={v:.4g}" for k, v in sorted(stats.items())),
+                )
+
+    best_metric_history = []
+    for epoch in range(start_epoch, tcfg.max_epoch + 1):
+        t0 = time.time()
+        epoch_batches = num_elements_batches(
+            train_lens, tcfg.batch_bins, shuffle_batches=True,
+            seed=tcfg.seed + epoch,
+        )
+        epoch_batches = shard_batches(
+            epoch_batches, jax.process_index(), jax.process_count()
+        )
+
+        sub = reporter.start_epoch("train", epoch)
+        run_batches(train_ds, epoch_batches, sub, train_step, True)
+        reporter.finish_epoch(sub)
+
+        sub = reporter.start_epoch("valid", epoch)
+        run_batches(valid_ds, valid_batches, sub, eval_step, False)
+        valid_stats = reporter.finish_epoch(sub)
+
+        history[epoch] = reporter.history[epoch]
+        mgr.save_epoch(epoch, state, history)
+        logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+
+        # early stopping (trainer.py:459-463)
+        if tcfg.patience is not None:
+            phase, metric, mode = tcfg.best_model_criterion
+            best = mgr.best_epoch(history)
+            if best is not None and epoch - best >= int(tcfg.patience):
+                logging.info("early stop: no %s improvement for %s epochs",
+                             metric, tcfg.patience)
+                break
+        best_metric_history.append(valid_stats.get("acc"))
+
+    avg = mgr.average_nbest(history, state.params)
+    reporter.dump(os.path.join(args.exp_dir, "train_history.json"))
+    logging.info("done; n-best average written")
+    return {"history": history, "exp_dir": args.exp_dir}
+
+
+if __name__ == "__main__":
+    main()

@@ -42,8 +42,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    spec = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, spec), batch)
+    """Shard the leading (batch) axis over 'data'; batches whose size does
+    not divide the data-axis length are replicated instead (correct, just
+    not parallel — happens only for ragged tail batches)."""
+    n_data = mesh.shape["data"]
+    data_spec = NamedSharding(mesh, P("data"))
+    repl_spec = NamedSharding(mesh, P())
+
+    def put(x):
+        ok = hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n_data == 0
+        return jax.device_put(x, data_spec if ok else repl_spec)
+
+    return jax.tree.map(put, batch)
 
 
 def param_sharding_rules(path: str, shape: tuple) -> P:
