@@ -1,0 +1,383 @@
+"""Conformer encoder + Transformer decoder — the baseline recipe track.
+
+Re-designs `espnet2/asr/encoder/conformer_encoder.py:48` (rel-pos self-attn,
+macaron FFN, conv module, swish, conv2d subsampling) and
+`espnet2/asr/decoder/transformer_decoder.py:232` as pure functions over
+stacked-layer pytrees under `lax.scan`, with explicit padding masks.
+
+Matches the SEAME recipe config (`conf/tuning/train_asr_conformer.yaml`):
+d=256, heads=4, ffn 2048, 12 blocks, conv kernel 15, rel_pos/rel_selfattn,
+macaron, conv2d subsampling (T/4); decoder: 6 blocks, sinusoidal PE.
+
+Deviation (documented): the conv module uses layer norm where espnet uses
+BatchNorm1d (`espnet/nets/pytorch_backend/conformer/convolution.py`) —
+batch-stat plumbing is poor fit for a pure-functional step, and LN-conformers
+are standard practice. Revisit if parity runs demand it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.models.whisper import layer_norm, linear
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    input_size: int = 80
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 12
+    cnn_module_kernel: int = 15
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    dropout_rate: float = 0.1
+    compute_dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerDecoderConfig:
+    vocab_size: int = 51865
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    d_model: int = 256
+    compute_dtype: Any = jnp.float32
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# positional encodings
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_pe(length: int, d: int) -> np.ndarray:
+    pos = np.arange(length, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float64) * -(math.log(10000.0) / d))
+    pe = np.zeros((length, d))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe.astype(np.float32)
+
+
+def rel_positional_encoding(t: int, d: int) -> np.ndarray:
+    """(2T-1, d): positions T-1 .. 0 .. -(T-1) (espnet RelPositionalEncoding,
+    embedding.py: pe_positive flipped ++ pe_negative[1:])."""
+    pos = np.arange(t, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float64) * -(math.log(10000.0) / d))
+    pe_pos = np.zeros((t, d))
+    pe_pos[:, 0::2] = np.sin(pos * div)
+    pe_pos[:, 1::2] = np.cos(pos * div)
+    pe_neg = np.zeros((t, d))
+    pe_neg[:, 0::2] = np.sin(-pos * div)
+    pe_neg[:, 1::2] = np.cos(-pos * div)
+    return np.concatenate([pe_pos[::-1], pe_neg[1:]], axis=0).astype(np.float32)
+
+
+def _rel_shift(x: jax.Array) -> jax.Array:
+    """(B, h, T, 2T-1) -> (B, h, T, T) Transformer-XL relative shift
+    (espnet RelPositionMultiHeadedAttention.rel_shift)."""
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(b, h, 2 * t, t)
+    x = x[:, :, 1:].reshape(b, h, t, 2 * t - 1)
+    return x[..., :t]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _xavier(rng, d_in, d_out):
+    bound = math.sqrt(6.0 / (d_in + d_out))
+    return jax.random.uniform(rng, (d_in, d_out), jnp.float32, -bound, bound)
+
+
+def _lin(rng, d_in, d_out, bias=True):
+    k1, k2 = jax.random.split(rng)
+    p = {"w": _xavier(k1, d_in, d_out)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _ln(d):
+    return {"w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def _ffn(rng, d, units):
+    k1, k2 = jax.random.split(rng)
+    return {"fc1": _lin(k1, d, units), "fc2": _lin(k2, units, d)}
+
+
+def _attn(rng, d, rel=False, n_head=4):
+    ks = jax.random.split(rng, 7)
+    p = {
+        "q": _lin(ks[0], d, d),
+        "k": _lin(ks[1], d, d),
+        "v": _lin(ks[2], d, d),
+        "out": _lin(ks[3], d, d),
+    }
+    if rel:
+        dk = d // n_head
+        p["pos"] = _lin(ks[4], d, d, bias=False)
+        p["pos_bias_u"] = jax.random.normal(ks[5], (n_head, dk), jnp.float32) * 0.02
+        p["pos_bias_v"] = jax.random.normal(ks[6], (n_head, dk), jnp.float32) * 0.02
+    return p
+
+
+def init_conformer_params(rng: jax.Array, cfg: ConformerConfig) -> Params:
+    ks = jax.random.split(rng, 4)
+    d = cfg.output_size
+    f = cfg.input_size
+    f_sub = ((f - 1) // 2 - 1) // 2
+
+    def block(k):
+        kk = jax.random.split(k, 8)
+        p = {
+            "ff1": _ffn(kk[0], d, cfg.linear_units),
+            "ff1_ln": _ln(d),
+            "attn": _attn(kk[1], d, rel=True, n_head=cfg.attention_heads),
+            "attn_ln": _ln(d),
+            "ff2": _ffn(kk[2], d, cfg.linear_units),
+            "ff2_ln": _ln(d),
+            "final_ln": _ln(d),
+        }
+        if cfg.use_cnn_module:
+            k1, k2, k3 = jax.random.split(kk[3], 3)
+            p["conv"] = {
+                "pw1": _lin(k1, d, 2 * d),
+                "dw": jax.random.normal(k2, (cfg.cnn_module_kernel, 1, d), jnp.float32)
+                * 0.02,
+                "dw_b": jnp.zeros((d,), jnp.float32),
+                "norm": _ln(d),
+                "pw2": _lin(k3, d, d),
+            }
+            p["conv_ln"] = _ln(d)
+        return p
+
+    return {
+        "subsample": {
+            "conv1": {
+                "w": jax.random.normal(ks[0], (3, 3, 1, d), jnp.float32)
+                * math.sqrt(2.0 / 9),
+                "b": jnp.zeros((d,), jnp.float32),
+            },
+            "conv2": {
+                "w": jax.random.normal(ks[1], (3, 3, d, d), jnp.float32)
+                * math.sqrt(2.0 / (9 * d)),
+                "b": jnp.zeros((d,), jnp.float32),
+            },
+            "out": _lin(ks[2], d * f_sub, d),
+        },
+        "blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[block(k) for k in jax.random.split(ks[3], cfg.num_blocks)],
+        ),
+        "after_ln": _ln(d),
+    }
+
+
+# ---------------------------------------------------------------------------
+# conformer encoder forward
+# ---------------------------------------------------------------------------
+
+
+def _conv2d_subsample(p: Params, x: jax.Array, ilens: jax.Array):
+    """(B, T, F) -> (B, T', d), T' = ((T-1)//2 - 1)//2 (subsampling.py
+    Conv2dSubsampling: two 3x3 stride-2 VALID convs + linear)."""
+    h = x[..., None]  # (B, T, F, 1)
+    h = jax.lax.conv_general_dilated(
+        h, p["conv1"]["w"].astype(h.dtype), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["conv1"]["b"].astype(h.dtype)
+    h = jax.nn.relu(h)
+    h = jax.lax.conv_general_dilated(
+        h, p["conv2"]["w"].astype(h.dtype), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["conv2"]["b"].astype(h.dtype)
+    h = jax.nn.relu(h)
+    b, t2, f2, d = h.shape
+    h = linear(h.transpose(0, 1, 3, 2).reshape(b, t2, d * f2), p["out"])
+    olens = ((ilens - 1) // 2 - 1) // 2
+    return h, olens
+
+
+def _rel_attn(p: Params, x: jax.Array, pos: jax.Array, key_mask: jax.Array, n_head: int):
+    b, t, d = x.shape
+    dk = d // n_head
+
+    def heads(y):
+        return y.reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
+
+    q = heads(linear(x, p["q"]))
+    k = heads(linear(x, p["k"]))
+    v = heads(linear(x, p["v"]))
+    pe = linear(pos, {"w": p["pos"]["w"]})  # (2T-1, d)
+    pe = pe.reshape(2 * t - 1, n_head, dk).transpose(1, 0, 2)  # (h, 2T-1, dk)
+
+    qu = q + p["pos_bias_u"].astype(q.dtype)[None, :, None, :]
+    qv = q + p["pos_bias_v"].astype(q.dtype)[None, :, None, :]
+    ac = jnp.einsum("bhqd,bhkd->bhqk", qu, k)
+    bd = _rel_shift(jnp.einsum("bhqd,hpd->bhqp", qv, pe))
+    score = (ac + bd).astype(jnp.float32) / math.sqrt(dk)
+    score = jnp.where(key_mask[:, None, None, :], score, -jnp.inf)
+    w = jax.nn.softmax(score, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    return linear(out.transpose(0, 2, 1, 3).reshape(b, t, d), p["out"])
+
+
+def _conv_module(p: Params, x: jax.Array, valid: jax.Array, kernel: int):
+    """pointwise -> GLU -> depthwise(k) -> norm -> swish -> pointwise;
+    padded positions zeroed so the depthwise conv can't leak across them."""
+    x = x * valid[..., None].astype(x.dtype)
+    h = linear(x, p["pw1"])  # (B, T, 2d)
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(g)  # GLU
+    h = h * valid[..., None].astype(h.dtype)
+    pad = (kernel - 1) // 2
+    h = jax.lax.conv_general_dilated(
+        h, p["dw"].astype(h.dtype), (1,), ((pad, pad),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=h.shape[-1],
+    ) + p["dw_b"].astype(h.dtype)
+    h = layer_norm(h, p["norm"])
+    h = swish(h)
+    return linear(h, p["pw2"])
+
+
+def conformer_encode(
+    params: Params, cfg: ConformerConfig, feats: jax.Array, ilens: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(B, T, F) features -> (B, T/4, d), olens."""
+    x, olens = _conv2d_subsample(params["subsample"], feats.astype(cfg.compute_dtype), ilens)
+    t = x.shape[1]
+    d = cfg.output_size
+    x = x * math.sqrt(d)  # xscale (embedding.py)
+    pos = jnp.asarray(rel_positional_encoding(t, d)).astype(x.dtype)
+    valid = jnp.arange(t)[None, :] < olens[:, None]
+
+    def body(h, bp):
+        if cfg.macaron_style:
+            h = h + 0.5 * _ffn_fwd(bp["ff1"], layer_norm(h, bp["ff1_ln"]))
+        h = h + _rel_attn(
+            bp["attn"], layer_norm(h, bp["attn_ln"]), pos, valid, cfg.attention_heads
+        )
+        if cfg.use_cnn_module:
+            h = h + _conv_module(
+                bp["conv"], layer_norm(h, bp["conv_ln"]), valid, cfg.cnn_module_kernel
+            )
+        h = h + 0.5 * _ffn_fwd(bp["ff2"], layer_norm(h, bp["ff2_ln"]))
+        h = layer_norm(h, bp["final_ln"])
+        return h, 0
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = layer_norm(x, params["after_ln"])
+    return x, olens
+
+
+def _ffn_fwd(p: Params, x: jax.Array) -> jax.Array:
+    return linear(swish(linear(x, p["fc1"])), p["fc2"])
+
+
+# ---------------------------------------------------------------------------
+# transformer decoder
+# ---------------------------------------------------------------------------
+
+
+def init_transformer_decoder_params(rng: jax.Array, cfg: TransformerDecoderConfig) -> Params:
+    ks = jax.random.split(rng, 4)
+    d = cfg.d_model
+
+    def block(k):
+        kk = jax.random.split(k, 3)
+        return {
+            "self_attn": _attn(kk[0], d),
+            "self_ln": _ln(d),
+            "src_attn": _attn(kk[1], d),
+            "src_ln": _ln(d),
+            "ffn": _ffn(kk[2], d, cfg.linear_units),
+            "ffn_ln": _ln(d),
+        }
+
+    return {
+        "embed": jax.random.normal(ks[0], (cfg.vocab_size, d), jnp.float32) * 0.02,
+        "blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[block(k) for k in jax.random.split(ks[1], cfg.num_blocks)],
+        ),
+        "after_ln": _ln(d),
+        "output": _lin(ks[2], d, cfg.vocab_size),
+    }
+
+
+def _mha(p, xq, xkv, mask, n_head):
+    b, tq, d = xq.shape
+    tk = xkv.shape[1]
+    dk = d // n_head
+
+    def heads(y, t):
+        return y.reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
+
+    q = heads(linear(xq, p["q"]), tq)
+    k = heads(linear(xkv, p["k"]), tk)
+    v = heads(linear(xkv, p["v"]), tk)
+    score = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / math.sqrt(dk)
+    score = jnp.where(mask, score, -jnp.inf)
+    w = jax.nn.softmax(score, axis=-1).astype(v.dtype)
+    w = jnp.where(jnp.isnan(w), 0.0, w)  # fully-masked rows (pad queries)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    return linear(out.transpose(0, 2, 1, 3).reshape(b, tq, d), p["out"])
+
+
+def transformer_decode(
+    params: Params,
+    cfg: TransformerDecoderConfig,
+    tokens: jax.Array,
+    memory: jax.Array,
+    memory_lens: jax.Array,
+    token_lens: jax.Array | None = None,
+) -> jax.Array:
+    """Teacher-forced forward -> (B, T, vocab) fp32 logits."""
+    b, t = tokens.shape
+    d = cfg.d_model
+    x = params["embed"][tokens].astype(cfg.compute_dtype) * math.sqrt(d)
+    x = x + jnp.asarray(sinusoidal_pe(t, d)).astype(x.dtype)
+
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    if token_lens is not None:
+        tok_valid = (jnp.arange(t)[None, :] < token_lens[:, None])[:, None, None, :]
+        causal = causal & tok_valid
+    mem_valid = (
+        jnp.arange(memory.shape[1])[None, :] < memory_lens[:, None]
+    )[:, None, None, :]
+    mem = memory.astype(x.dtype)
+
+    def body(h, bp):
+        hn = layer_norm(h, bp["self_ln"])
+        h = h + _mha(bp["self_attn"], hn, hn, causal, cfg.attention_heads)
+        h = h + _mha(bp["src_attn"], layer_norm(h, bp["src_ln"]), mem, mem_valid, cfg.attention_heads)
+        h = h + _ffn_fwd2(bp["ffn"], layer_norm(h, bp["ffn_ln"]))
+        return h, 0
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = layer_norm(x, params["after_ln"])
+    return linear(x, params["output"]).astype(jnp.float32)
+
+
+def _ffn_fwd2(p, x):
+    return linear(jax.nn.relu(linear(x, p["fc1"])), p["fc2"])

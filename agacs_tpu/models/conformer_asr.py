@@ -1,0 +1,107 @@
+"""Hybrid CTC/attention conformer ASR model — the baseline recipe track
+(`conf/tuning/train_asr_conformer.yaml`): DefaultFrontend -> SpecAug ->
+Conformer encoder -> {CTC head, Transformer decoder} with
+loss = ctc_w·ctc + (1-ctc_w)·att (espnet_model.py:684).
+
+Token space: the conformer recipe uses its own char/BPE token list, but
+this build reuses the Whisper token ids end-to-end so data pipelines and
+scoring interop; sos/eos default to the Whisper specials.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.models.conformer import (
+    ConformerConfig,
+    TransformerDecoderConfig,
+    conformer_encode,
+    init_conformer_params,
+    init_transformer_decoder_params,
+    transformer_decode,
+)
+from agacs_tpu.ops.frontend_default import DefaultFrontendConfig, default_frontend
+from agacs_tpu.ops.specaug import SpecAugConfig, specaug
+from agacs_tpu.train.losses import (
+    IGNORE_ID,
+    add_sos_eos,
+    ctc_loss,
+    label_smoothing_loss,
+    th_accuracy,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerASRConfig:
+    encoder: ConformerConfig = ConformerConfig()
+    decoder: TransformerDecoderConfig = TransformerDecoderConfig()
+    frontend: DefaultFrontendConfig = DefaultFrontendConfig()
+    ctc_weight: float = 0.3
+    lsm_weight: float = 0.1
+    length_normalized_loss: bool = False
+    use_specaug: bool = True
+    specaug: SpecAugConfig = SpecAugConfig()
+    sos: int = 50258
+    eos: int = 50257
+    ignore_id: int = IGNORE_ID
+
+
+def init_conformer_asr_params(rng: jax.Array, cfg: ConformerASRConfig) -> dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    d = cfg.encoder.output_size
+    return {
+        "encoder": init_conformer_params(k1, cfg.encoder),
+        "decoder": init_transformer_decoder_params(k2, cfg.decoder),
+        "ctc": {
+            "w": jax.random.normal(k3, (d, cfg.decoder.vocab_size), jnp.float32)
+            / jnp.sqrt(d),
+            "b": jnp.zeros((cfg.decoder.vocab_size,), jnp.float32),
+        },
+    }
+
+
+def encode(params, cfg: ConformerASRConfig, speech, speech_lengths,
+           train=False, rng=None):
+    feats, flens = default_frontend(speech, speech_lengths, cfg.frontend)
+    if train and cfg.use_specaug and rng is not None:
+        feats = specaug(rng, feats, cfg.specaug)
+    return conformer_encode(params["encoder"], cfg.encoder, feats, flens)
+
+
+def forward(params, cfg: ConformerASRConfig, batch, train=True, rng=None):
+    enc_out, enc_lens = encode(
+        params, cfg, batch["speech"], batch["speech_lengths"], train, rng
+    )
+    text = batch["text"]
+    ys_in, ys_out = add_sos_eos(text, cfg.sos, cfg.eos, cfg.ignore_id)
+    ys_in_lens = jnp.sum(text != cfg.ignore_id, axis=-1) + 1
+
+    logits = transformer_decode(
+        params["decoder"], cfg.decoder, ys_in, enc_out, enc_lens, ys_in_lens
+    )
+    loss_att = label_smoothing_loss(
+        logits, ys_out, cfg.lsm_weight, cfg.ignore_id, cfg.length_normalized_loss
+    )
+    acc = th_accuracy(logits, ys_out, cfg.ignore_id)
+    stats = {"loss_att": loss_att, "acc": acc}
+
+    if cfg.ctc_weight > 0.0:
+        ctc_logits = (
+            jnp.dot(enc_out, params["ctc"]["w"].astype(enc_out.dtype))
+            + params["ctc"]["b"].astype(enc_out.dtype)
+        ).astype(jnp.float32)
+        text_lens = jnp.sum(text != cfg.ignore_id, axis=-1)
+        loss_ctc = ctc_loss(
+            ctc_logits, enc_lens, jnp.where(text == cfg.ignore_id, 0, text), text_lens
+        )
+        stats["loss_ctc"] = loss_ctc
+        loss = cfg.ctc_weight * loss_ctc + (1.0 - cfg.ctc_weight) * loss_att
+    else:
+        loss = loss_att
+
+    stats["loss"] = loss
+    return loss, stats

@@ -77,17 +77,24 @@ def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def mel_filterbank(
-    sample_rate: int = SAMPLE_RATE, n_fft: int = N_FFT, n_mels: int = N_MELS
+    sample_rate: int = SAMPLE_RATE,
+    n_fft: int = N_FFT,
+    n_mels: int = N_MELS,
+    fmin: float = 0.0,
+    fmax: float | None = None,
 ) -> np.ndarray:
     """Slaney-normalized mel filterbank (n_mels, n_fft//2+1), float32.
 
-    Matches librosa.filters.mel(sr, n_fft, n_mels=n_mels) and hence the
-    `mel_filters.npz` asset the reference Whisper ships (`whisper/audio.py`).
+    Matches librosa.filters.mel(sr, n_fft, n_mels=n_mels, htk=False) and
+    hence both the `mel_filters.npz` asset the reference Whisper ships
+    (`whisper/audio.py`) and the DefaultFrontend LogMel
+    (`espnet2/layers/log_mel.py:49`).
     """
+    fmax = sample_rate / 2.0 if fmax is None else fmax
     n_bins = n_fft // 2 + 1
     fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_bins)
-    mel_min = _hz_to_mel_slaney(np.array(0.0))
-    mel_max = _hz_to_mel_slaney(np.array(sample_rate / 2.0))
+    mel_min = _hz_to_mel_slaney(np.array(fmin))
+    mel_max = _hz_to_mel_slaney(np.array(fmax))
     mel_pts = np.linspace(mel_min, mel_max, n_mels + 2)
     hz_pts = _mel_to_hz_slaney(mel_pts)
 

@@ -1,0 +1,131 @@
+"""Conformer track tests: shapes, masking invariance, hybrid training step."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.models.conformer import (
+    ConformerConfig,
+    TransformerDecoderConfig,
+    _rel_shift,
+    conformer_encode,
+    init_conformer_params,
+    init_transformer_decoder_params,
+    rel_positional_encoding,
+    transformer_decode,
+)
+from agacs_tpu.models.conformer_asr import (
+    ConformerASRConfig,
+    forward,
+    init_conformer_asr_params,
+)
+from agacs_tpu.ops.frontend_default import DefaultFrontendConfig, default_frontend
+from agacs_tpu.train.optim import OptimConfig
+from agacs_tpu.train.trainer import build_tx, create_train_state, make_train_step
+
+SMALL_ENC = ConformerConfig(
+    input_size=80, output_size=64, attention_heads=4, linear_units=128, num_blocks=2
+)
+SMALL_DEC = TransformerDecoderConfig(
+    vocab_size=51865, attention_heads=4, linear_units=128, num_blocks=2, d_model=64
+)
+
+
+def test_default_frontend_shapes():
+    audio = jnp.asarray(np.random.RandomState(0).randn(2, 16000).astype(np.float32))
+    feats, olens = default_frontend(audio, jnp.array([16000, 8000]))
+    assert feats.shape == (2, 16000 // 128 + 1, 80)
+    assert olens.tolist() == [126, 63]
+    # padded frames zeroed + mean-normalized valid region
+    assert float(jnp.abs(feats[1, 80:]).max()) == 0.0
+    valid_mean = feats[1, :63].mean()
+    assert abs(float(valid_mean)) < 1e-4  # utterance MVN
+
+
+def test_rel_shift_semantics():
+    """After the shift, out[q, k] must equal in[q, T-1 + (k - q)] —
+    the (k-q) relative-position lookup."""
+    t = 5
+    x = np.zeros((1, 1, t, 2 * t - 1), np.float32)
+    for q in range(t):
+        for p in range(2 * t - 1):
+            x[0, 0, q, p] = 100 * q + p
+    out = np.asarray(_rel_shift(jnp.asarray(x)))
+    for q in range(t):
+        for k in range(t):
+            assert out[0, 0, q, k] == 100 * q + (t - 1 + k - q)
+
+
+def test_rel_pe_center():
+    pe = rel_positional_encoding(4, 8)
+    assert pe.shape == (7, 8)
+    # center row = position 0 -> sin(0)=0, cos(0)=1
+    np.testing.assert_allclose(pe[3, 0::2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(pe[3, 1::2], 1.0, atol=1e-6)
+
+
+def test_conformer_encoder_shapes_and_padding_invariance():
+    params = init_conformer_params(jax.random.PRNGKey(0), SMALL_ENC)
+    rng = np.random.RandomState(0)
+    feats = rng.randn(1, 40, 80).astype(np.float32)
+    ilens = jnp.array([40])
+    out1, olens1 = conformer_encode(params, SMALL_ENC, jnp.asarray(feats), ilens)
+    assert olens1.tolist() == [((40 - 1) // 2 - 1) // 2]
+
+    # appending garbage padding must not change the valid outputs
+    feats_pad = np.concatenate([feats, rng.randn(1, 16, 80).astype(np.float32)], 1)
+    out2, olens2 = conformer_encode(
+        params, SMALL_ENC, jnp.asarray(feats_pad), ilens
+    )
+    n = int(olens1[0])
+    np.testing.assert_allclose(
+        np.asarray(out1)[0, :n], np.asarray(out2)[0, :n], atol=2e-5
+    )
+
+
+def test_transformer_decoder_causality():
+    params = init_transformer_decoder_params(jax.random.PRNGKey(0), SMALL_DEC)
+    mem = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 64))
+    mlens = jnp.array([7])
+    toks = jnp.array([[50258, 5, 9, 12]])
+    full = transformer_decode(params, SMALL_DEC, toks, mem, mlens)
+    # changing a future token must not affect earlier logits
+    toks2 = toks.at[0, 3].set(999)
+    full2 = transformer_decode(params, SMALL_DEC, toks2, mem, mlens)
+    np.testing.assert_allclose(
+        np.asarray(full)[0, :3], np.asarray(full2)[0, :3], atol=1e-5
+    )
+
+
+def test_hybrid_train_step_decreases_loss():
+    cfg = ConformerASRConfig(
+        encoder=SMALL_ENC, decoder=SMALL_DEC, ctc_weight=0.3, use_specaug=False
+    )
+    params = init_conformer_asr_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    b = 4
+    batch = {
+        "speech": jnp.asarray(rng.randn(b, 16000).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.full((b,), 16000, jnp.int32),
+        "text": jnp.asarray(
+            np.concatenate(
+                [rng.randint(100, 5000, (b, 6)), np.full((b, 2), -1)], axis=1
+            ).astype(np.int32)
+        ),
+    }
+
+    tx, _ = build_tx(params, OptimConfig(lr=1e-3, warmup_steps=4, scheduler="warmuplr"))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, loss_fn=forward)
+    losses = []
+    for _ in range(4):
+        state, stats = step(state, batch)
+        losses.append(float(stats["loss"]))
+    assert all(np.isfinite(losses))
+    assert "loss_ctc" in stats
+    assert losses[-1] < losses[0]
