@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from agacs_tpu.data import ASRDataset, collate_batch, num_elements_batches
 from agacs_tpu.data.sampler import shard_batches
-from agacs_tpu.models.asr_model import init_asr_params
 from agacs_tpu.models.checkpoint import load_torch_whisper
 from agacs_tpu.parallel import make_mesh, shard_batch, shard_params
 from agacs_tpu.train.checkpoint import CheckpointManager, load_pytree_like
@@ -42,8 +41,8 @@ from agacs_tpu.utils.config import (
     apply_overrides,
     dump_resolved,
     load_yaml,
-    model_config_from_dict,
     optim_config_from_dict,
+    task_from_dict,
     trainer_config_from_dict,
 )
 
@@ -83,7 +82,8 @@ def main(argv: list[str] | None = None) -> dict:
 
     raw = apply_overrides(load_yaml(args.config), args.override)
     dtype = getattr(jnp, args.compute_dtype)
-    cfg = model_config_from_dict(raw, compute_dtype=dtype)
+    task = task_from_dict(raw, compute_dtype=dtype)
+    cfg = task.cfg
     optim_cfg = optim_config_from_dict(raw)
     tcfg = trainer_config_from_dict(raw)
     if args.max_epoch is not None:
@@ -112,7 +112,7 @@ def main(argv: list[str] | None = None) -> dict:
 
     # model/optim
     rng = jax.random.PRNGKey(tcfg.seed)
-    params = init_asr_params(rng, cfg)
+    params = task.init_fn(rng, cfg)
     init_param = args.init_param or tcfg.init_param
     if init_param:
         logging.info("loading init params from %s", init_param)
@@ -139,8 +139,8 @@ def main(argv: list[str] | None = None) -> dict:
         state, start_epoch, history = mgr.resume(state)
         logging.info("resumed at epoch %d", start_epoch)
 
-    train_step = make_train_step(cfg, tx)
-    eval_step = make_eval_step(cfg)
+    train_step = make_train_step(cfg, tx, loss_fn=task.loss_fn)
+    eval_step = make_eval_step(cfg, loss_fn=task.loss_fn)
     reporter = Reporter()
     reporter.history = history
 

@@ -161,6 +161,7 @@ def mha(
     n_head: int = 12,
     lang_cols: tuple[int, int] | None = None,
     pe: bool = False,
+    full_scores: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Multi-head attention matching reference `qkv_attention` numerics.
 
@@ -175,7 +176,10 @@ def mha(
                consume).
     For the PE variant (pe=True), scores are the gated mix
     softmax((1-g)·qk + g·qk_cs) (model.py:156-179) and qk_cols/p_cols are
-    taken from the mixed scores.
+    taken from the mixed scores. With `full_scores=True`, aux additionally
+    carries the full (B, h, T, T) score matrix ("qk_full": pre-softmax for
+    standard attention, post-softmax for PE — exactly what the reference
+    blocks return) for the attention_map.md debugging workflow.
     """
     kv_in = x if xa is None else xa
     q = linear(x, p["query"])
@@ -210,6 +214,8 @@ def mha(
         lo, hi = lang_cols
         aux["qk_cols"] = qk[..., lo:hi]
         aux["p_cols"] = w[..., lo:hi]
+    if full_scores:
+        aux["qk_full"] = w if pe else qk
     return out, aux
 
 
@@ -230,13 +236,14 @@ def residual_block(
     n_head: int,
     cfg: WhisperConfig,
     lang_cols: tuple[int, int] | None = None,
+    full_scores: bool = False,
 ) -> tuple[jax.Array, dict]:
     """ResidualAttentionBlock (model.py:195-248): self-attn [+adapter+ln]
     [+cross-attn] + mlp [+adapter+ln]. Returns (x, self-attn aux)."""
     attn_out, aux = mha(
         p["attn"], layer_norm(x, p["attn_ln"]), None,
         causal=causal, n_head=n_head, lang_cols=lang_cols,
-        pe=cfg.pe_attention,
+        pe=cfg.pe_attention, full_scores=full_scores,
     )
     x = x + attn_out
     if cfg.adapter:
@@ -477,6 +484,7 @@ def whisper_decode(
     src_layer: int = 0,
     collect_lang_cols: bool = False,
     lang_cols: tuple[int, int] = (1, 3),
+    collect_full_maps: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Teacher-forced decoder forward (whisper_decoder.py:89-170).
 
@@ -506,9 +514,15 @@ def whisper_decode(
         h = carry
         h, aux = residual_block(
             layer_params, h, xa, causal=True, n_head=cfg.n_text_head,
-            cfg=cfg, lang_cols=cols,
+            cfg=cfg, lang_cols=cols, full_scores=collect_full_maps,
         )
-        out = (aux.get("qk_cols", 0), aux.get("p_cols", 0)) if cols else 0
+        out = 0
+        if cols or collect_full_maps:
+            out = (
+                aux.get("qk_cols", 0),
+                aux.get("p_cols", 0),
+                aux.get("qk_full", 0),
+            )
         return h, out
 
     x, layer_aux = jax.lax.scan(body, x, dec["blocks"])
@@ -523,10 +537,15 @@ def whisper_decode(
     logits = jnp.dot(x, dec["token_emb"].T.astype(x.dtype)).astype(jnp.float32)
 
     aux: dict = {}
-    if cols:
-        qk_cols, p_cols = layer_aux
-        aux["qk_cols"] = qk_cols[src_layer:]
-        aux["p_cols"] = p_cols[src_layer:]
+    if cols or collect_full_maps:
+        qk_cols, p_cols, qk_full = layer_aux
+        if cols:
+            aux["qk_cols"] = qk_cols[src_layer:]
+            aux["p_cols"] = p_cols[src_layer:]
+        if collect_full_maps:
+            # (L, B, h, T, T) in reference stacking order
+            # (whisper_decoder.py:168 torch.stack(attention_scores))
+            aux["maps"] = qk_full[src_layer:]
     return logits, aux
 
 

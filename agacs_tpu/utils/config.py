@@ -77,7 +77,7 @@ def model_config_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> ASRMod
     dec_conf = d.get("decoder_conf", {}) or {}
     model_conf = d.get("model_conf", {}) or {}
 
-    assert d.get("encoder", "whisper") == "whisper", "conformer track: see models/conformer"
+    assert d.get("encoder", "whisper") == "whisper", "use task_from_dict for conformer"
     model_size = enc_conf.get("whisper_model", "small")
     adapter = bool(enc_conf.get("adapter", False) or dec_conf.get("adapter", False))
     pe = bool(enc_conf.get("pe_whisper", False) or dec_conf.get("pe_whisper", False))
@@ -143,6 +143,74 @@ def trainer_config_from_dict(d: dict) -> TrainerConfig:
         freeze_param=d.get("freeze_param"),
         init_param=d.get("init_param"),
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class Task:
+    """Model family selected by the config's `encoder:` key — the ClassChoices
+    dispatch (`tasks/asr.py:88-189`) reduced to the two families the
+    reference's recipes use."""
+
+    kind: str  # "whisper" | "conformer"
+    cfg: Any
+    init_fn: Any
+    loss_fn: Any
+
+
+def task_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> Task:
+    encoder = d.get("encoder", "whisper")
+    if encoder == "whisper":
+        from agacs_tpu.models import asr_model
+
+        cfg = model_config_from_dict(d, compute_dtype)
+        return Task("whisper", cfg, asr_model.init_asr_params, asr_model.forward)
+    if encoder == "conformer":
+        from agacs_tpu.models import conformer_asr
+        from agacs_tpu.models.conformer import ConformerConfig, TransformerDecoderConfig
+        from agacs_tpu.ops.frontend_default import DefaultFrontendConfig
+
+        enc_conf = d.get("encoder_conf", {}) or {}
+        dec_conf = d.get("decoder_conf", {}) or {}
+        model_conf = d.get("model_conf", {}) or {}
+        frontend_conf = d.get("frontend_conf", {}) or {}
+        enc = ConformerConfig(
+            input_size=int(frontend_conf.get("n_mels", 80)),
+            output_size=int(enc_conf.get("output_size", 256)),
+            attention_heads=int(enc_conf.get("attention_heads", 4)),
+            linear_units=int(enc_conf.get("linear_units", 2048)),
+            num_blocks=int(enc_conf.get("num_blocks", 12)),
+            cnn_module_kernel=int(enc_conf.get("cnn_module_kernel", 15)),
+            macaron_style=bool(enc_conf.get("macaron_style", True)),
+            use_cnn_module=bool(enc_conf.get("use_cnn_module", True)),
+            compute_dtype=compute_dtype,
+        )
+        dec = TransformerDecoderConfig(
+            vocab_size=int(d.get("vocab_size", 51865)),
+            attention_heads=int(dec_conf.get("attention_heads", 4)),
+            linear_units=int(dec_conf.get("linear_units", 2048)),
+            num_blocks=int(dec_conf.get("num_blocks", 6)),
+            d_model=enc.output_size,
+            compute_dtype=compute_dtype,
+        )
+        cfg = conformer_asr.ConformerASRConfig(
+            encoder=enc,
+            decoder=dec,
+            frontend=DefaultFrontendConfig(
+                n_fft=int(frontend_conf.get("n_fft", 512)),
+                hop_length=int(frontend_conf.get("hop_length", 128)),
+                n_mels=int(frontend_conf.get("n_mels", 80)),
+            ),
+            ctc_weight=float(model_conf.get("ctc_weight", 0.3)),
+            lsm_weight=float(model_conf.get("lsm_weight", 0.1)),
+            length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
+            use_specaug=d.get("specaug") == "specaug",
+            specaug=SpecAugConfig.from_dict(d.get("specaug_conf")),
+        )
+        return Task(
+            "conformer", cfg, conformer_asr.init_conformer_asr_params,
+            conformer_asr.forward,
+        )
+    raise ValueError(f"unknown encoder family: {encoder}")
 
 
 def dump_resolved(path: str, d: dict) -> None:

@@ -1,0 +1,117 @@
+"""Config task dispatch (whisper vs conformer) + conformer train CLI +
+CTC greedy decode."""
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.decode.ctc_greedy import collapse_ctc, ctc_greedy_decode
+from agacs_tpu.utils.config import task_from_dict
+
+CONFORMER_CONF = {
+    "encoder": "conformer",
+    "encoder_conf": {"output_size": 64, "attention_heads": 4,
+                     "linear_units": 128, "num_blocks": 2},
+    "decoder": "transformer",
+    "decoder_conf": {"attention_heads": 4, "linear_units": 128, "num_blocks": 2},
+    "model_conf": {"ctc_weight": 0.3, "lsm_weight": 0.1},
+    "specaug": "specaug",
+    "specaug_conf": {"apply_time_warp": False, "apply_freq_mask": True,
+                     "freq_mask_width_range": [0, 10], "num_freq_mask": 2,
+                     "apply_time_mask": True, "time_mask_width_range": [0, 10],
+                     "num_time_mask": 2},
+    "optim": "adam", "optim_conf": {"lr": 1.0e-3},
+    "scheduler": "warmuplr", "scheduler_conf": {"warmup_steps": 5},
+    "batch_bins": 100000, "max_epoch": 1, "keep_nbest_models": 1,
+}
+
+
+def test_whisper_task_dispatch():
+    task = task_from_dict(
+        {"encoder": "whisper", "encoder_conf": {"whisper_model": "tiny"},
+         "model_conf": {"cs_weight": 0.01}},
+        compute_dtype=jnp.float32,
+    )
+    assert task.kind == "whisper"
+    assert task.cfg.whisper.n_audio_layer == 4
+    assert task.cfg.cs_weight == 0.01
+
+
+def test_conformer_task_dispatch_and_step():
+    task = task_from_dict(CONFORMER_CONF, compute_dtype=jnp.float32)
+    assert task.kind == "conformer"
+    assert task.cfg.encoder.output_size == 64
+    assert task.cfg.use_specaug
+
+    params = task.init_fn(jax.random.PRNGKey(0), task.cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 8000).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([8000, 6000], jnp.int32),
+        "text": jnp.asarray([[5, 6, 7, -1], [8, 9, -1, -1]], jnp.int32),
+    }
+    loss, stats = task.loss_fn(params, task.cfg, batch, train=False, rng=None)
+    assert np.isfinite(float(loss)) and "loss_ctc" in stats
+
+
+def test_conformer_train_cli(tmp_path):
+    from agacs_tpu.bin import train
+    from agacs_tpu.data.io import write_scp, write_wav
+
+    rng = np.random.RandomState(0)
+    for split in ("train", "valid"):
+        d = tmp_path / split
+        wavs, texts = {}, {}
+        for u in ("a", "b"):
+            p = str(d / f"{u}.wav")
+            write_wav(p, rng.randn(8000).astype(np.float32) * 0.1)
+            wavs[u] = p
+            texts[u] = "我们 ok"
+        write_scp(str(d / "wav.scp"), wavs)
+        write_scp(str(d / "text"), texts)
+    conf = tmp_path / "conf.yaml"
+    with open(conf, "w") as f:
+        yaml.safe_dump(CONFORMER_CONF, f)
+
+    out = train.main([
+        "--config", str(conf),
+        "--train_dir", str(tmp_path / "train"),
+        "--valid_dir", str(tmp_path / "valid"),
+        "--exp_dir", str(tmp_path / "exp"),
+        "--compute_dtype", "float32",
+    ])
+    assert np.isfinite(out["history"][1]["train"]["loss"])
+    assert "loss_ctc" in out["history"][1]["train"]
+
+
+def test_collapse_ctc():
+    ids = np.array([[0, 3, 3, 0, 4, 4, 4, 0, 3, 0]])
+    assert collapse_ctc(ids) == [[3, 4, 3]]
+    assert collapse_ctc(np.array([[0, 0, 0]])) == [[]]
+
+
+def test_ctc_greedy_decode_pipeline():
+    from agacs_tpu.models.conformer import ConformerConfig, TransformerDecoderConfig
+    from agacs_tpu.models import conformer_asr
+
+    cfg = conformer_asr.ConformerASRConfig(
+        encoder=ConformerConfig(output_size=64, linear_units=128, num_blocks=2),
+        decoder=TransformerDecoderConfig(d_model=64, linear_units=128, num_blocks=2),
+        use_specaug=False,
+    )
+    params = conformer_asr.init_conformer_asr_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 8000).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([8000, 8000], jnp.int32),
+    }
+
+    def enc(params, s, sl):
+        return conformer_asr.encode(params, cfg, s, sl)
+
+    hyps = ctc_greedy_decode(params, enc, batch)
+    assert len(hyps) == 2
+    assert all(isinstance(h, list) for h in hyps)
