@@ -41,6 +41,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> dict:
+    from agacs_tpu.utils.runtime import setup as _runtime_setup
+
+    _runtime_setup()
     args = build_argparser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
@@ -57,7 +60,7 @@ def main(argv: list[str] | None = None) -> dict:
         ys_in, _ = add_sos_eos(text, cfg.sos, cfg.eos, cfg.ignore_id)
         _, aux = whisper_decode(
             params, cfg.whisper, ys_in, enc_out,
-            src_layer=0, collect_lang_cols=True,
+            src_layer=0, collect_lang_cols=True, need_probs=True,
         )
         return count_language_heads(aux["p_cols"])
 

@@ -42,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> dict:
+    from agacs_tpu.utils.runtime import setup as _runtime_setup
+
+    _runtime_setup()
     args = build_argparser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 

@@ -75,6 +75,9 @@ def load_init_params(path: str, params, cfg):
 
 
 def main(argv: list[str] | None = None) -> dict:
+    from agacs_tpu.utils.runtime import setup as _runtime_setup
+
+    _runtime_setup()
     args = build_argparser().parse_args(argv)
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"

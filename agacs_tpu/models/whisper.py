@@ -63,6 +63,10 @@ class WhisperConfig:
     side_network: SideNetworkConfig | None = None
     # numerics
     compute_dtype: Any = jnp.float32
+    # attention dispatch: "auto" = Pallas flash kernels on TPU (einsum on
+    # CPU / for the PE variant / when probability columns are requested),
+    # "einsum" = always reference-numerics path, "flash" = force kernels.
+    attention_backend: str = "auto"
 
     @property
     def d_audio_head(self) -> int:
@@ -162,6 +166,8 @@ def mha(
     lang_cols: tuple[int, int] | None = None,
     pe: bool = False,
     full_scores: bool = False,
+    need_probs: bool = False,
+    backend: str = "auto",
 ) -> tuple[jax.Array, dict]:
     """Multi-head attention matching reference `qkv_attention` numerics.
 
@@ -180,6 +186,13 @@ def mha(
     carries the full (B, h, T, T) score matrix ("qk_full": pre-softmax for
     standard attention, post-softmax for PE — exactly what the reference
     blocks return) for the attention_map.md debugging workflow.
+
+    Dispatch: when neither PE nor full scores nor post-softmax columns are
+    needed, the output goes through the fused flash path
+    (ops/attention.fused_mha) and qk_cols — the ONLY thing the shipped CS
+    loss reads — is computed analytically as a (T, |cols|) matmul against
+    the two language-token keys, so no (T, T) score tensor ever
+    materializes.
     """
     kv_in = x if xa is None else xa
     q = linear(x, p["query"])
@@ -191,6 +204,25 @@ def mha(
     qh = _split_heads(q, n_head) * scale
     kh = _split_heads(k, n_head) * scale
     vh = _split_heads(v, n_head)
+
+    if not pe and not full_scores and not need_probs:
+        from agacs_tpu.ops.attention import fused_mha
+
+        out = fused_mha(qh, kh, vh, causal=causal, sm_scale=1.0, backend=backend)
+        out = linear(_merge_heads(out), p["out"])
+        aux = {}
+        if lang_cols is not None:
+            lo, hi = lang_cols
+            qk_cols = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh[:, :, lo:hi]
+            ).astype(jnp.float32)
+            if causal:
+                t_q = qh.shape[2]
+                col_ids = jnp.arange(lo, hi)[None, :]
+                masked = col_ids > jnp.arange(t_q)[:, None]  # key col > query row
+                qk_cols = jnp.where(masked[None, None], -jnp.inf, qk_cols)
+            aux["qk_cols"] = qk_cols
+        return out, aux
 
     qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
     if pe:
@@ -237,13 +269,15 @@ def residual_block(
     cfg: WhisperConfig,
     lang_cols: tuple[int, int] | None = None,
     full_scores: bool = False,
+    need_probs: bool = False,
 ) -> tuple[jax.Array, dict]:
     """ResidualAttentionBlock (model.py:195-248): self-attn [+adapter+ln]
     [+cross-attn] + mlp [+adapter+ln]. Returns (x, self-attn aux)."""
     attn_out, aux = mha(
         p["attn"], layer_norm(x, p["attn_ln"]), None,
         causal=causal, n_head=n_head, lang_cols=lang_cols,
-        pe=cfg.pe_attention, full_scores=full_scores,
+        pe=cfg.pe_attention, full_scores=full_scores, need_probs=need_probs,
+        backend=cfg.attention_backend,
     )
     x = x + attn_out
     if cfg.adapter:
@@ -253,6 +287,7 @@ def residual_block(
         cross_out, _ = mha(
             p["cross_attn"], layer_norm(x, p["cross_attn_ln"]), xa,
             causal=False, n_head=n_head, pe=False,
+            backend=cfg.attention_backend,
         )
         x = x + cross_out
     x = x + mlp_fwd(p["mlp"], layer_norm(x, p["mlp_ln"]))
@@ -485,6 +520,7 @@ def whisper_decode(
     collect_lang_cols: bool = False,
     lang_cols: tuple[int, int] = (1, 3),
     collect_full_maps: bool = False,
+    need_probs: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Teacher-forced decoder forward (whisper_decoder.py:89-170).
 
@@ -515,6 +551,7 @@ def whisper_decode(
         h, aux = residual_block(
             layer_params, h, xa, causal=True, n_head=cfg.n_text_head,
             cfg=cfg, lang_cols=cols, full_scores=collect_full_maps,
+            need_probs=need_probs,
         )
         out = 0
         if cols or collect_full_maps:
@@ -541,7 +578,8 @@ def whisper_decode(
         qk_cols, p_cols, qk_full = layer_aux
         if cols:
             aux["qk_cols"] = qk_cols[src_layer:]
-            aux["p_cols"] = p_cols[src_layer:]
+            if need_probs or cfg.pe_attention:
+                aux["p_cols"] = p_cols[src_layer:]
         if collect_full_maps:
             # (L, B, h, T, T) in reference stacking order
             # (whisper_decoder.py:168 torch.stack(attention_scores))

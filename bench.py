@@ -32,6 +32,9 @@ STEPS = 20
 
 
 def main():
+    from agacs_tpu.utils.runtime import setup as _runtime_setup
+
+    _runtime_setup()
     from agacs_tpu.adapt.cs_loss import LANG_EN, LANG_PAD, LANG_ZH
     from agacs_tpu.models.asr_model import ASRModelConfig, init_asr_params
     from agacs_tpu.models.whisper import make_config
