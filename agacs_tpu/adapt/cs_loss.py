@@ -104,11 +104,24 @@ def attention_target_labels(
     return labels
 
 
-def targets_from_labels(labels: jnp.ndarray, c_val: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """labels (B, T) -> (targets (B, T, 2), valid (B, T)) on device."""
-    lut = jnp.array(
-        [[0.0, 0.0], [c_val, 0.0], [0.0, c_val], [c_val, c_val], [0.0, 0.0]],
-        jnp.float32,
+def targets_from_labels(labels: jnp.ndarray, c_val) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """labels (B, T) -> (targets (B, T, 2), valid (B, T)) on device.
+
+    `c_val` may be a python float or a traced scalar (the learnable
+    `estimated_c_val` of the estimate_c variant, whisper_decoder.py:85-86 —
+    NOTE the reference creates that parameter but its live loss never reads
+    it (only espnet_model_bak.py:284-285 does); here it actually trains).
+    """
+    c = jnp.asarray(c_val, jnp.float32)
+    z = jnp.zeros((), jnp.float32)
+    lut = jnp.stack(
+        [
+            jnp.stack([z, z]),
+            jnp.stack([c, z]),
+            jnp.stack([z, c]),
+            jnp.stack([c, c]),
+            jnp.stack([z, z]),
+        ]
     )
     targets = lut[labels]
     valid = (labels != LANG_PAD).astype(jnp.float32)

@@ -65,6 +65,9 @@ class ASRModelConfig:
     eos: int = 50257
     ignore_id: int = IGNORE_ID
     use_specaug: bool = True
+    # learnable target attention value (decoder estimate_c,
+    # whisper_decoder.py:85-86 / freeze preset abs_task.py:1175-1177)
+    estimate_c: bool = False
     specaug: SpecAugConfig = SpecAugConfig()
     audio: WhisperAudioConfig = WhisperAudioConfig()
     # (L, h) 0/1 head mask for the CS loss; tuple-of-tuples for hashability.
@@ -88,6 +91,8 @@ def init_asr_params(rng: jax.Array, cfg: ASRModelConfig) -> dict:
 
     k1, k2 = jax.random.split(rng)
     params = init_whisper_params(k1, cfg.whisper)
+    if cfg.estimate_c:
+        params["estimated_c_val"] = jnp.asarray([cfg.c_val_attention], jnp.float32)
     if cfg.ctc_weight != 0.0 or cfg.interctc_weight != 0.0:
         d = cfg.whisper.n_audio_state
         params["ctc"] = {
@@ -165,11 +170,14 @@ def forward(
 
     if cfg.cs_weight != 0.0:
         head_mask = jnp.asarray(cfg.head_mask_array())
+        c_val = (
+            params["estimated_c_val"][0] if cfg.estimate_c else cfg.c_val_attention
+        )
         loss_cs = cs_attention_loss(
             aux["qk_cols"] if not cfg.whisper.pe_attention else aux["p_cols"],
             batch["cs_labels"],
             head_mask,
-            cfg.c_val_attention,
+            c_val,
         )
         # reference overwrites the ctc mix here (espnet_model.py:694)
         loss = cfg.cs_weight * loss_cs + loss_att

@@ -105,6 +105,7 @@ def model_config_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> ASRMod
         lsm_weight=float(model_conf.get("lsm_weight", 0.1)),
         length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
         src_layer=int(dec_conf.get("src_layer", 1)),
+        estimate_c=bool(dec_conf.get("estimate_c", False)),
         use_specaug=bool(enc_conf.get("use_specaug", False)),
         specaug=SpecAugConfig.from_dict(enc_conf.get("specaug_conf")),
         head_mask=tuple(map(tuple, head_mask)) if head_mask else None,

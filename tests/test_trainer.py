@@ -139,6 +139,26 @@ def test_eval_step(tok):
     assert 0.0 <= float(stats["acc"]) <= 1.0
 
 
+def test_estimate_c_trains_under_adapter_preset(tok):
+    """Learnable c_val target (estimate_c): created, marked trainable by the
+    'adapter' preset (abs_task.py:1175-1177), and actually updated by the
+    CS loss (unlike the reference, whose live loss ignores it)."""
+    cfg = ASRModelConfig(
+        whisper=TINY_WHISPER, cs_weight=0.05, estimate_c=True, use_specaug=False
+    )
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    assert "estimated_c_val" in params
+    tx, mask = build_tx(params, OptimConfig(warmup_steps=2), freeze_preset="adapter")
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx)
+    batch = _batch(tok, b=4)
+    c0 = float(state.params["estimated_c_val"][0])
+    for _ in range(3):
+        state, stats = step(state, batch)
+    assert float(state.params["estimated_c_val"][0]) != c0
+    assert np.isfinite(float(stats["loss_cs"]))
+
+
 def test_checkpoint_manager_nbest(tok, tmp_path):
     cfg = _cfg()
     params = init_asr_params(jax.random.PRNGKey(0), cfg)
