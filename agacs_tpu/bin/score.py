@@ -11,7 +11,7 @@ import argparse
 import json
 import os
 
-from agacs_tpu.eval.scoring import read_trn, score_report
+from agacs_tpu.eval.scoring import read_trn, score_by_bucket, score_report
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -19,6 +19,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ref", required=True)
     p.add_argument("--hyp", required=True)
     p.add_argument("--output_dir", required=True)
+    p.add_argument("--per_bucket", action="store_true",
+                   help="additionally score cs/en/man sentence buckets "
+                        "(code_util/seperate_hyp.py)")
     return p
 
 
@@ -27,6 +30,10 @@ def main(argv: list[str] | None = None) -> dict:
     refs = read_trn(args.ref)
     hyps = read_trn(args.hyp)
     report = score_report(refs, hyps)
+    if args.per_bucket:
+        report.update(
+            {f"bucket_{k}": v for k, v in score_by_bucket(refs, hyps).items()}
+        )
 
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "result.json"), "w") as f:

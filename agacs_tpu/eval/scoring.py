@@ -220,6 +220,27 @@ def read_trn(path: str) -> dict[str, str]:
     return out
 
 
+def classify_sentence(text: str) -> str:
+    """'cs' / 'en' / 'man' bucket by content (code_util/seperate_hyp.py:
+    unicode-range split of ref sentences into code-switched / English-only /
+    Mandarin-only)."""
+    has_man = any(is_mandarin_char(c) for c in text if c.strip())
+    has_eng = any(_is_english_char(c) for c in text)
+    if has_man and has_eng:
+        return "cs"
+    return "man" if has_man else "en"
+
+
+def score_by_bucket(refs: dict[str, str], hyps: dict[str, str]) -> dict:
+    """Per-bucket mixed-error tables, bucketing utterances by the REFERENCE
+    sentence's language content (seperate_hyp.py's 3-way sclite runs)."""
+    buckets = {"cs": ErrorStats(), "en": ErrorStats(), "man": ErrorStats()}
+    for utt_id, ref_text in refs.items():
+        b = classify_sentence(ref_text)
+        buckets[b].add(mixed_tokens(ref_text), mixed_tokens(hyps.get(utt_id, "")))
+    return {k: v.as_dict() for k, v in buckets.items()}
+
+
 def score_report(refs: dict[str, str], hyps: dict[str, str]) -> dict:
     """Full scoring table: MER + English WER + Mandarin CER
     (local/score.sh:16-47 pipeline)."""

@@ -174,7 +174,9 @@ def forward(
             params["estimated_c_val"][0] if cfg.estimate_c else cfg.c_val_attention
         )
         loss_cs = cs_attention_loss(
-            aux["qk_cols"] if not cfg.whisper.pe_attention else aux["p_cols"],
+            aux["qk_cols"]
+            if not cfg.whisper.part("decoder").pe_attention
+            else aux["p_cols"],
             batch["cs_labels"],
             head_mask,
             c_val,

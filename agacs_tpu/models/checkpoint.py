@@ -131,8 +131,9 @@ def params_from_state_dict(
     n_enc = cfg.n_audio_layer
     n_dec = cfg.n_text_layer
 
-    enc_blocks = [_block(sd, f"encoder.blocks.{i}", cfg, cross=False) for i in range(n_enc)]
-    dec_blocks = [_block(sd, f"decoder.blocks.{i}", cfg, cross=True) for i in range(n_dec)]
+    enc_cfg, dec_cfg = cfg.part("encoder"), cfg.part("decoder")
+    enc_blocks = [_block(sd, f"encoder.blocks.{i}", enc_cfg, cross=False) for i in range(n_enc)]
+    dec_blocks = [_block(sd, f"decoder.blocks.{i}", dec_cfg, cross=True) for i in range(n_dec)]
 
     conv1_w = _np(sd["encoder.conv1.weight"]).transpose(2, 1, 0)
     conv2_w = _np(sd["encoder.conv2.weight"]).transpose(2, 1, 0)
@@ -161,8 +162,10 @@ def params_from_state_dict(
     )
     params = _merge_missing(loaded, template)
 
-    if cfg.pe_attention and init_pe_from_base and "encoder.blocks.0.attn.query_cs.weight" not in sd:
-        for part in ("encoder", "decoder"):
+    if init_pe_from_base:
+        for part, pcfg in (("encoder", enc_cfg), ("decoder", dec_cfg)):
+            if not pcfg.pe_attention or f"{part}.blocks.0.attn.query_cs.weight" in sd:
+                continue
             blocks = params[part]["blocks"]
             blocks["attn"]["query_cs"]["w"] = blocks["attn"]["query"]["w"]
             blocks["attn"]["query_cs"]["b"] = blocks["attn"]["query"]["b"]

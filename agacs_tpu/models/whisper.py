@@ -57,9 +57,17 @@ class WhisperConfig:
     n_text_state: int = 768
     n_text_head: int = 12
     n_text_layer: int = 12
-    # PET variants (mutually exclusive in the reference's recipes)
+    # PET variants. `adapter`/`pe_attention` apply to both stacks; the
+    # reference configures them PER COMPONENT (encoder_conf.adapter vs
+    # decoder_conf.adapter, e.g. the tmecs "pedecoder"/"adapter_decoder"
+    # variants) — the *_encoder/*_decoder overrides select that (None =
+    # inherit the global flag).
     adapter: bool = False
     pe_attention: bool = False
+    adapter_encoder: bool | None = None
+    adapter_decoder: bool | None = None
+    pe_encoder: bool | None = None
+    pe_decoder: bool | None = None
     side_network: SideNetworkConfig | None = None
     # numerics
     compute_dtype: Any = jnp.float32
@@ -67,6 +75,19 @@ class WhisperConfig:
     # CPU / for the PE variant / when probability columns are requested),
     # "einsum" = always reference-numerics path, "flash" = force kernels.
     attention_backend: str = "auto"
+
+    def part(self, which: str) -> "WhisperConfig":
+        """Effective config for 'encoder' or 'decoder' blocks: resolves the
+        per-component PET overrides into the plain adapter/pe flags."""
+        if which == "encoder":
+            a = self.adapter if self.adapter_encoder is None else self.adapter_encoder
+            p = self.pe_attention if self.pe_encoder is None else self.pe_encoder
+        else:
+            a = self.adapter if self.adapter_decoder is None else self.adapter_decoder
+            p = self.pe_attention if self.pe_decoder is None else self.pe_decoder
+        if a == self.adapter and p == self.pe_attention:
+            return self
+        return dataclasses.replace(self, adapter=a, pe_attention=p)
 
     @property
     def d_audio_head(self) -> int:
@@ -362,11 +383,11 @@ def init_whisper_params(rng: jax.Array, cfg: WhisperConfig) -> Params:
     d_a, d_t = cfg.n_audio_state, cfg.n_text_state
 
     enc_blocks = [
-        _init_block(k, d_a, cfg.n_audio_head, cfg, cross=False)
+        _init_block(k, d_a, cfg.n_audio_head, cfg.part("encoder"), cross=False)
         for k in jax.random.split(ks[0], cfg.n_audio_layer)
     ]
     dec_blocks = [
-        _init_block(k, d_t, cfg.n_text_head, cfg, cross=True)
+        _init_block(k, d_t, cfg.n_text_head, cfg.part("decoder"), cross=True)
         for k in jax.random.split(ks[1], cfg.n_text_layer)
     ]
     params = {
@@ -401,7 +422,10 @@ def _init_encoder_side(rng, cfg: WhisperConfig):
     sc = cfg.side_network
     ks = jax.random.split(rng, 5)
     n_side = len(sc.layers)
-    side_cfg = dataclasses.replace(cfg, adapter=False, pe_attention=False)
+    side_cfg = dataclasses.replace(
+        cfg, adapter=False, pe_attention=False,
+        adapter_encoder=None, adapter_decoder=None, pe_encoder=None, pe_decoder=None,
+    )
     blocks = [
         _init_block(k, sc.n_dim, sc.n_head, side_cfg, cross=False)
         for k in jax.random.split(ks[0], n_side)
@@ -423,7 +447,10 @@ def _init_decoder_side(rng, cfg: WhisperConfig):
     sc = cfg.side_network
     ks = jax.random.split(rng, 6)
     n_side = len(sc.layers)
-    side_cfg = dataclasses.replace(cfg, adapter=False, pe_attention=False)
+    side_cfg = dataclasses.replace(
+        cfg, adapter=False, pe_attention=False,
+        adapter_encoder=None, adapter_decoder=None, pe_encoder=None, pe_decoder=None,
+    )
     blocks = [
         _init_block(k, sc.n_dim, sc.n_head, side_cfg, cross=True)
         for k in jax.random.split(ks[0], n_side)
@@ -467,10 +494,13 @@ def whisper_encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Ar
     side = cfg.side_network
     x_embed = x  # post-posemb trunk input, feeds the side ladder
 
+    enc_cfg = cfg.part("encoder")
+
     def body(carry, layer_params):
         h = carry
         h, _ = residual_block(
-            layer_params, h, None, causal=False, n_head=cfg.n_audio_head, cfg=cfg
+            layer_params, h, None, causal=False, n_head=cfg.n_audio_head,
+            cfg=enc_cfg,
         )
         return h, (h if side is not None else 0)
 
@@ -482,7 +512,10 @@ def whisper_encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Ar
         # ladder side network fused with gated trunk taps
         # (whisper_encoder.py:172-205)
         sp = params["encoder_side"]
-        side_cfg = dataclasses.replace(cfg, adapter=False, pe_attention=False)
+        side_cfg = dataclasses.replace(
+        cfg, adapter=False, pe_attention=False,
+        adapter_encoder=None, adapter_decoder=None, pe_encoder=None, pe_decoder=None,
+    )
         h_side = linear(x_embed, sp["downsample_input"])
         for i, layer_idx in enumerate(side.layers):
             trunk_h = layer_outs[layer_idx]
@@ -545,12 +578,13 @@ def whisper_decode(
     xa = audio_feats.astype(cfg.compute_dtype)
 
     cols = lang_cols if collect_lang_cols else None
+    dec_cfg = cfg.part("decoder")
 
     def body(carry, layer_params):
         h = carry
         h, aux = residual_block(
             layer_params, h, xa, causal=True, n_head=cfg.n_text_head,
-            cfg=cfg, lang_cols=cols, full_scores=collect_full_maps,
+            cfg=dec_cfg, lang_cols=cols, full_scores=collect_full_maps,
             need_probs=need_probs,
         )
         out = 0
@@ -578,7 +612,7 @@ def whisper_decode(
         qk_cols, p_cols, qk_full = layer_aux
         if cols:
             aux["qk_cols"] = qk_cols[src_layer:]
-            if need_probs or cfg.pe_attention:
+            if need_probs or dec_cfg.pe_attention:
                 aux["p_cols"] = p_cols[src_layer:]
         if collect_full_maps:
             # (L, B, h, T, T) in reference stacking order
@@ -601,16 +635,21 @@ def _decoder_side_fwd(params, cfg, tokens, xa):
     x = dec["token_emb"][tokens] + dec["pos_emb"][:t]
     x = x.astype(cfg.compute_dtype)
 
+    dec_cfg = cfg.part("decoder")
+
     def body(carry, layer_params):
         h = carry
         h, _ = residual_block(
-            layer_params, h, xa, causal=True, n_head=cfg.n_text_head, cfg=cfg
+            layer_params, h, xa, causal=True, n_head=cfg.n_text_head, cfg=dec_cfg
         )
         return h, h
 
     _, layer_outs = jax.lax.scan(body, x, dec["blocks"])
 
-    side_cfg = dataclasses.replace(cfg, adapter=False, pe_attention=False)
+    side_cfg = dataclasses.replace(
+        cfg, adapter=False, pe_attention=False,
+        adapter_encoder=None, adapter_decoder=None, pe_encoder=None, pe_decoder=None,
+    )
     h_side = linear(x, sp["downsample_input"])
     xa_side = linear(xa, sp["downsample_encoder_input"])
     for i, layer_idx in enumerate(side.layers):
@@ -653,7 +692,7 @@ def init_self_kv_cache(cfg: WhisperConfig, batch: int, max_len: int | None = Non
         "k": jnp.zeros(shape, cfg.compute_dtype),
         "v": jnp.zeros(shape, cfg.compute_dtype),
     }
-    if cfg.pe_attention:
+    if cfg.part("decoder").pe_attention:
         cache["k_cs"] = jnp.zeros(shape, cfg.compute_dtype)
     return cache
 
@@ -678,6 +717,7 @@ def whisper_decode_step(
     Returns (logits (B, n_vocab) fp32, updated self_kv).
     """
     dec = params["decoder"]
+    cfg = cfg.part("decoder")
     b = tokens.shape[0]
     max_len = self_kv["k"].shape[2]
     n_head = cfg.n_text_head

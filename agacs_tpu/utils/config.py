@@ -79,17 +79,23 @@ def model_config_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> ASRMod
 
     assert d.get("encoder", "whisper") == "whisper", "use task_from_dict for conformer"
     model_size = enc_conf.get("whisper_model", "small")
-    adapter = bool(enc_conf.get("adapter", False) or dec_conf.get("adapter", False))
-    pe = bool(enc_conf.get("pe_whisper", False) or dec_conf.get("pe_whisper", False))
     side = _side_network_config(
         enc_conf.get("side_network_conf") or dec_conf.get("side_network_conf")
         if (enc_conf.get("side_network") or dec_conf.get("side_network"))
         else None
     )
+    # PET flags are per component, like encoder_conf/decoder_conf in the
+    # reference recipes (e.g. tmecs pedecoder: decoder-only PE)
     whisper = make_config(
         model_size,
-        adapter=adapter,
-        pe_attention=pe,
+        adapter=bool(enc_conf.get("adapter", False) or dec_conf.get("adapter", False)),
+        pe_attention=bool(
+            enc_conf.get("pe_whisper", False) or dec_conf.get("pe_whisper", False)
+        ),
+        adapter_encoder=bool(enc_conf.get("adapter", False)),
+        adapter_decoder=bool(dec_conf.get("adapter", False)),
+        pe_encoder=bool(enc_conf.get("pe_whisper", False)),
+        pe_decoder=bool(dec_conf.get("pe_whisper", False)),
         side_network=side,
         compute_dtype=compute_dtype,
     )

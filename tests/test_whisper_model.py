@@ -99,6 +99,56 @@ def test_pe_attention_parity():
     np.testing.assert_allclose(np.asarray(aux["p_cols"]), ref_cols, atol=2e-5)
 
 
+def test_decoder_only_pe_parity():
+    """tmecs 'pedecoder' variant: PE attention in the DECODER only, standard
+    encoder (encoder_conf.pe_whisper=false, decoder_conf.pe_whisper=true)."""
+    import torch
+
+    from reference_oracle import import_reference_whisper
+
+    wm = import_reference_whisper()
+    torch.manual_seed(0)
+    dims = wm.ModelDimensions(
+        n_mels=80, n_audio_ctx=20, n_audio_state=96, n_audio_head=12,
+        n_audio_layer=2, n_vocab=100, n_text_ctx=16, n_text_state=96,
+        n_text_head=12, n_text_layer=2,
+    )
+    # build encoder standard + decoder PE, like the espnet wrappers with
+    # differing conf flags
+    enc_model = wm.AudioEncoder(80, 20, 96, 12, 2)
+    dec_model = wm.TextDecoder(100, 16, 96, 12, 2, pe_whisper=True)
+    torch.nn.init.normal_(dec_model.positional_embedding, 0.0, 0.02)
+    enc_model.eval(), dec_model.eval()
+
+    sd = {}
+    sd.update({f"encoder.{k}": v for k, v in enc_model.state_dict().items()})
+    sd.update({f"decoder.{k}": v for k, v in dec_model.state_dict().items()})
+
+    cfg = WhisperConfig(
+        n_mels=80, n_audio_ctx=20, n_audio_state=96, n_audio_head=12,
+        n_audio_layer=2, n_vocab=100, n_text_ctx=16, n_text_state=96,
+        n_text_head=12, n_text_layer=2,
+        pe_encoder=False, pe_decoder=True,
+    )
+    params = params_from_state_dict(sd, cfg)
+
+    rng = np.random.RandomState(3)
+    mel = rng.randn(1, 80, 40).astype(np.float32)
+    tokens = np.array([[3, 5, 7]], dtype=np.int64)
+    with torch.no_grad():
+        enc_t = enc_model(torch.from_numpy(mel)).numpy()
+        x = dec_model.token_embedding(torch.from_numpy(tokens)) + dec_model.positional_embedding[:3]
+        for block in dec_model.blocks:
+            x, _ = block(x, torch.from_numpy(enc_t), mask=dec_model.mask)
+        x = dec_model.ln(x)
+        logits_t = (x @ dec_model.token_embedding.weight.T).numpy()
+
+    enc_j = np.asarray(whisper_encode(params, cfg, jnp.asarray(mel.transpose(0, 2, 1))))
+    np.testing.assert_allclose(enc_j, enc_t, atol=2e-5, rtol=1e-5)
+    logits_j, _ = whisper_decode(params, cfg, jnp.asarray(tokens), jnp.asarray(enc_t))
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t, atol=3e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("pe", [False, True])
 def test_kv_cached_decode_matches_full_forward(pe):
     cfg = WhisperConfig(**TINY, pe_attention=pe)
