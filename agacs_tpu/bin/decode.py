@@ -4,7 +4,12 @@ equivalent: data dir -> hyp.trn + ref.trn + RTF report.
   python -m agacs_tpu.bin.decode --config exp/x/config.yaml \
       --params exp/x/valid.acc.ave.params.npz \
       --data_dir data/dev --output_dir exp/x/decode_dev \
-      [--beam_size 1] [--max_steps 200] [--batch_size 8]
+      [--beam_size 1] [--max_steps 200] [--batch_size 8] \
+      [--ctc_weight 0.3] [--lm_exp exp/lm]        # conformer family
+
+Whisper family: greedy/beam with the dual-language hyp primer
+(asr_inference.py:319-331). Conformer family: joint CTC/attention beam
+with optional LM shallow fusion (beam_search.py score composition).
 """
 
 from __future__ import annotations
@@ -22,9 +27,8 @@ import jax.numpy as jnp
 from agacs_tpu.data import ASRDataset
 from agacs_tpu.decode.speech2text import Speech2Text
 from agacs_tpu.eval.scoring import write_trn
-from agacs_tpu.models.asr_model import init_asr_params
 from agacs_tpu.train.checkpoint import load_pytree_like
-from agacs_tpu.utils.config import load_yaml, model_config_from_dict
+from agacs_tpu.utils.config import load_yaml, task_from_dict
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -37,32 +41,85 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=200)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--length_bonus", type=float, default=0.0)
+    p.add_argument("--ctc_weight", type=float, default=0.3,
+                   help="CTC weight in the joint beam (conformer family)")
+    p.add_argument("--lm_exp", default=None,
+                   help="LM experiment dir for shallow fusion (conformer)")
+    p.add_argument("--lm_weight", type=float, default=0.3)
     p.add_argument("--compute_dtype", default="bfloat16")
     return p
 
 
-def main(argv: list[str] | None = None) -> dict:
-    from agacs_tpu.utils.runtime import setup as _runtime_setup
+def _decode_conformer(args, task, params, ds):
+    import time
 
-    _runtime_setup()
-    args = build_argparser().parse_args(argv)
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    from agacs_tpu.decode.joint_beam import joint_beam_decode
+    from agacs_tpu.models import conformer_asr
 
-    cfg = model_config_from_dict(
-        load_yaml(args.config), compute_dtype=getattr(jnp, args.compute_dtype)
-    )
-    params = init_asr_params(jax.random.PRNGKey(0), cfg)
-    params = load_pytree_like(args.params, params)
+    cfg = task.cfg
+    lm_params = lm_cfg = None
+    if args.lm_exp:
+        from agacs_tpu.models.lm import TransformerLMConfig, init_lm_params
 
-    ds = ASRDataset(args.data_dir, with_cs_labels=False)
+        lm_cfg = TransformerLMConfig(compute_dtype=jnp.float32)
+        lm_params = load_pytree_like(
+            os.path.join(args.lm_exp, "valid.loss.ave.params.npz"),
+            init_lm_params(jax.random.PRNGKey(0), lm_cfg),
+        )
+
+    enc_fn = jax.jit(lambda p, s, l: conformer_asr.encode(p, cfg, s, l))
+    hyps, refs = {}, {}
+    audio_sec = decode_sec = 0.0
+    utts = sorted(ds.utt_ids, key=ds.num_samples)
+    for i in range(0, len(utts), args.batch_size):
+        chunk = utts[i : i + args.batch_size]
+        items = [ds[u] for u in chunk]
+        s_max = max(len(it["speech"]) for it in items)
+        audio = np.zeros((len(items), s_max), np.float32)
+        lens = np.zeros((len(items),), np.int32)
+        for k_i, it in enumerate(items):
+            audio[k_i, : len(it["speech"])] = it["speech"]
+            lens[k_i] = len(it["speech"])
+        t0 = time.perf_counter()
+        enc, enc_lens = enc_fn(params, jnp.asarray(audio), jnp.asarray(lens))
+        ctc_logp = None
+        if args.ctc_weight > 0 and "ctc" in params:
+            logits = (
+                jnp.dot(enc, params["ctc"]["w"].astype(enc.dtype))
+                + params["ctc"]["b"].astype(enc.dtype)
+            ).astype(jnp.float32)
+            ctc_logp = jax.nn.log_softmax(logits, -1)
+        tokens, lens_out, _ = joint_beam_decode(
+            params["decoder"], cfg.decoder, enc, enc_lens,
+            ctc_logp=ctc_logp, ctc_frame_lens=enc_lens,
+            lm_params=lm_params, lm_cfg=lm_cfg,
+            beam_size=args.beam_size, pre_beam=max(2 * args.beam_size, 4),
+            max_steps=args.max_steps, sos=cfg.sos, eos=cfg.eos,
+            ctc_weight=args.ctc_weight if ctc_logp is not None else 0.0,
+            lm_weight=args.lm_weight if lm_params is not None else 0.0,
+            length_bonus=args.length_bonus,
+        )
+        tokens, lens_out = np.asarray(tokens), np.asarray(lens_out)
+        decode_sec += time.perf_counter() - t0
+        audio_sec += float(lens.sum()) / 16000.0
+        for u, row, n in zip(chunk, tokens, lens_out):
+            ids = [t for t in row[1:n].tolist() if t not in (cfg.sos, cfg.eos)]
+            hyps[u] = ds.tokenizer.decode(ids)
+            refs[u] = ds.text[u]
+        logging.info("decoded %d/%d", min(i + args.batch_size, len(utts)), len(utts))
+    rtf = decode_sec / max(audio_sec, 1e-9)
+    return hyps, refs, {"rtf": rtf, "inverse_rtf": 1.0 / max(rtf, 1e-9),
+                        "audio_seconds": audio_sec, "decode_seconds": decode_sec,
+                        "n_utts": len(utts)}
+
+
+def _decode_whisper(args, task, params, ds):
+    cfg = task.cfg
     s2t = Speech2Text(
         params, cfg, beam_size=args.beam_size, max_steps=args.max_steps,
         length_bonus=args.length_bonus,
     )
-
-    hyps: dict[str, str] = {}
-    refs: dict[str, str] = {}
-    # batch utterances of similar length together (padded to the batch max)
+    hyps, refs = {}, {}
     utts = sorted(ds.utt_ids, key=ds.num_samples)
     for i in range(0, len(utts), args.batch_size):
         chunk = utts[i : i + args.batch_size]
@@ -78,21 +135,41 @@ def main(argv: list[str] | None = None) -> dict:
         logging.info("decoded %d/%d (running 1/RTF=%.1fx)",
                      min(i + args.batch_size, len(utts)), len(utts),
                      s2t.inverse_rtf)
+    rtf_report = {
+        "rtf": s2t.rtf, "inverse_rtf": s2t.inverse_rtf,
+        "audio_seconds": s2t._audio_seconds,
+        "decode_seconds": s2t._decode_seconds, "n_utts": len(utts),
+    }
+    return hyps, refs, rtf_report
+
+
+def main(argv: list[str] | None = None) -> dict:
+    from agacs_tpu.utils.runtime import setup as _runtime_setup
+
+    _runtime_setup()
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    task = task_from_dict(
+        load_yaml(args.config), compute_dtype=getattr(jnp, args.compute_dtype)
+    )
+    params = task.init_fn(jax.random.PRNGKey(0), task.cfg)
+    params = load_pytree_like(args.params, params)
+
+    ds = ASRDataset(args.data_dir, with_cs_labels=False)
+    if task.kind == "whisper":
+        hyps, refs, rtf_report = _decode_whisper(args, task, params, ds)
+    else:
+        hyps, refs, rtf_report = _decode_conformer(args, task, params, ds)
 
     os.makedirs(args.output_dir, exist_ok=True)
     write_trn(os.path.join(args.output_dir, "hyp.trn"), hyps)
     write_trn(os.path.join(args.output_dir, "ref.trn"), refs)
-    rtf_report = {
-        "rtf": s2t.rtf,
-        "inverse_rtf": s2t.inverse_rtf,
-        "audio_seconds": s2t._audio_seconds,
-        "decode_seconds": s2t._decode_seconds,
-        "n_utts": len(utts),
-    }
     with open(os.path.join(args.output_dir, "rtf.json"), "w") as f:
         json.dump(rtf_report, f, indent=1)
     logging.info("RTF=%.4f (decode %.1fs / audio %.1fs)",
-                 s2t.rtf, s2t._decode_seconds, s2t._audio_seconds)
+                 rtf_report["rtf"], rtf_report["decode_seconds"],
+                 rtf_report["audio_seconds"])
     return {"hyps": hyps, "refs": refs, "rtf": rtf_report}
 
 

@@ -381,3 +381,92 @@ def transformer_decode(
 
 def _ffn_fwd2(p, x):
     return linear(jax.nn.relu(linear(x, p["fc1"])), p["fc2"])
+
+
+# ---------------------------------------------------------------------------
+# incremental (KV-cached) transformer decoder for beam search
+# ---------------------------------------------------------------------------
+
+
+def init_decoder_kv_cache(cfg: TransformerDecoderConfig, batch: int, max_len: int):
+    shape = (cfg.num_blocks, batch, max_len, cfg.d_model)
+    return {
+        "k": jnp.zeros(shape, cfg.compute_dtype),
+        "v": jnp.zeros(shape, cfg.compute_dtype),
+    }
+
+
+def precompute_decoder_cross_kv(params: Params, cfg: TransformerDecoderConfig,
+                                memory: jax.Array):
+    mem = memory.astype(cfg.compute_dtype)
+
+    def body(_, bp):
+        return 0, (linear(mem, bp["src_attn"]["k"]), linear(mem, bp["src_attn"]["v"]))
+
+    _, (k, v) = jax.lax.scan(body, 0, params["blocks"])
+    return {"k": k, "v": v}
+
+
+def transformer_decode_step(
+    params: Params,
+    cfg: TransformerDecoderConfig,
+    tokens: jax.Array,
+    pos: jax.Array,
+    self_kv,
+    cross_kv,
+    memory_lens: jax.Array,
+):
+    """One AR step: tokens (B,), pos scalar -> (logits (B, V) fp32, new kv)."""
+    d = cfg.d_model
+    n_head = cfg.attention_heads
+    dk = d // n_head
+    b = tokens.shape[0]
+    max_len = self_kv["k"].shape[2]
+
+    x = params["embed"][tokens].astype(cfg.compute_dtype) * math.sqrt(d)
+    pe = jnp.asarray(sinusoidal_pe(max_len, d))
+    x = (x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, 0).astype(x.dtype))[:, None, :]
+
+    key_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]
+    t_mem = cross_kv["k"].shape[2]
+    mem_mask = (jnp.arange(t_mem)[None, :] < memory_lens[:, None])[:, None, None, :]
+
+    def heads(y, t):
+        return y.reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
+
+    def body(carry, scanned):
+        h = carry
+        bp, ck, cv, kv = scanned
+
+        hn = layer_norm(h, bp["self_ln"])
+        q = linear(hn, bp["self_attn"]["q"])
+        k_new = linear(hn, bp["self_attn"]["k"])
+        v_new = linear(hn, bp["self_attn"]["v"])
+        k_c = jax.lax.dynamic_update_slice(kv["k"], k_new, (0, pos, 0))
+        v_c = jax.lax.dynamic_update_slice(kv["v"], v_new, (0, pos, 0))
+        score = jnp.einsum(
+            "bhqd,bhkd->bhqk", heads(q, 1), heads(k_c, max_len)
+        ).astype(jnp.float32) / math.sqrt(dk)
+        score = jnp.where(key_mask, score, -jnp.inf)
+        w = jax.nn.softmax(score, -1).astype(h.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(v_c, max_len))
+        h = h + linear(att.transpose(0, 2, 1, 3).reshape(b, 1, d), bp["self_attn"]["out"])
+
+        hn = layer_norm(h, bp["src_ln"])
+        qc = heads(linear(hn, bp["src_attn"]["q"]), 1)
+        score = jnp.einsum(
+            "bhqd,bhkd->bhqk", qc, heads(ck, t_mem)
+        ).astype(jnp.float32) / math.sqrt(dk)
+        score = jnp.where(mem_mask, score, -jnp.inf)
+        w = jax.nn.softmax(score, -1).astype(h.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(cv, t_mem))
+        h = h + linear(att.transpose(0, 2, 1, 3).reshape(b, 1, d), bp["src_attn"]["out"])
+
+        h = h + _ffn_fwd2(bp["ffn"], layer_norm(h, bp["ffn_ln"]))
+        return h, {"k": k_c, "v": v_c}
+
+    x, new_kv = jax.lax.scan(
+        body, x, (params["blocks"], cross_kv["k"], cross_kv["v"], self_kv)
+    )
+    x = layer_norm(x, params["after_ln"])
+    return linear(x[:, 0], params["output"]).astype(jnp.float32), new_kv

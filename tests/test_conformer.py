@@ -101,6 +101,33 @@ def test_transformer_decoder_causality():
     )
 
 
+def test_transformer_decoder_cached_step_matches_full():
+    from agacs_tpu.models.conformer import (
+        init_decoder_kv_cache,
+        precompute_decoder_cross_kv,
+        transformer_decode_step,
+    )
+
+    params = init_transformer_decoder_params(jax.random.PRNGKey(0), SMALL_DEC)
+    mem = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 64))
+    mlens = jnp.array([7, 5])
+    toks = jnp.array([[50258, 5, 9, 12], [50258, 8, 3, 2]], dtype=jnp.int32)
+
+    full = transformer_decode(params, SMALL_DEC, toks, mem, mlens)
+
+    cross = precompute_decoder_cross_kv(params, SMALL_DEC, mem)
+    kv = init_decoder_kv_cache(SMALL_DEC, 2, 8)
+    outs = []
+    for pos in range(4):
+        lg, kv = transformer_decode_step(
+            params, SMALL_DEC, toks[:, pos], jnp.int32(pos), kv, cross, mlens
+        )
+        outs.append(np.asarray(lg))
+    np.testing.assert_allclose(
+        np.stack(outs, 1), np.asarray(full), atol=2e-4, rtol=1e-4
+    )
+
+
 def test_hybrid_train_step_decreases_loss():
     cfg = ConformerASRConfig(
         encoder=SMALL_ENC, decoder=SMALL_DEC, ctc_weight=0.3, use_specaug=False

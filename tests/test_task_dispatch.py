@@ -86,6 +86,23 @@ def test_conformer_train_cli(tmp_path):
     assert np.isfinite(out["history"][1]["train"]["loss"])
     assert "loss_ctc" in out["history"][1]["train"]
 
+    # decode the valid set with the joint CTC/attention beam
+    from agacs_tpu.bin import decode
+
+    dec = decode.main([
+        "--config", str(tmp_path / "exp" / "config.yaml"),
+        "--params", str(tmp_path / "exp" / "valid.acc.ave.params.npz"),
+        "--data_dir", str(tmp_path / "valid"),
+        "--output_dir", str(tmp_path / "dec"),
+        "--beam_size", "2",
+        "--max_steps", "6",
+        "--ctc_weight", "0.3",
+        "--compute_dtype", "float32",
+    ])
+    assert len(dec["hyps"]) == 2
+    assert dec["rtf"]["rtf"] > 0
+    assert (tmp_path / "dec" / "hyp.trn").exists()
+
 
 def test_collapse_ctc():
     ids = np.array([[0, 3, 3, 0, 4, 4, 4, 0, 3, 0]])
