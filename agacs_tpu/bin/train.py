@@ -142,7 +142,7 @@ def main(argv: list[str] | None = None) -> dict:
         state, start_epoch, history = mgr.resume(state)
         logging.info("resumed at epoch %d", start_epoch)
 
-    train_step = make_train_step(cfg, tx, loss_fn=task.loss_fn)
+    train_step = make_train_step(cfg, tx, loss_fn=task.loss_fn, trainable_mask=mask)
     eval_step = make_eval_step(cfg, loss_fn=task.loss_fn)
     reporter = Reporter()
     reporter.history = history

@@ -75,6 +75,11 @@ class WhisperConfig:
     # CPU / for the PE variant / when probability columns are requested),
     # "einsum" = always reference-numerics path, "flash" = force kernels.
     attention_backend: str = "auto"
+    # rematerialize block activations in backward (jax.checkpoint around
+    # each scanned block): profiling showed the un-rematted backward saves
+    # ~2 GB of fp32 attention scores + residuals per whisper-small step —
+    # recomputing beats that HBM traffic on v5e.
+    remat: bool = True
 
     def part(self, which: str) -> "WhisperConfig":
         """Effective config for 'encoder' or 'decoder' blocks: resolves the
@@ -496,12 +501,18 @@ def whisper_encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Ar
 
     enc_cfg = cfg.part("encoder")
 
-    def body(carry, layer_params):
-        h = carry
+    def block_fn(h, layer_params):
         h, _ = residual_block(
             layer_params, h, None, causal=False, n_head=cfg.n_audio_head,
             cfg=enc_cfg,
         )
+        return h
+
+    if cfg.remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def body(carry, layer_params):
+        h = block_fn(carry, layer_params)
         return h, (h if side is not None else 0)
 
     x, layer_outs = jax.lax.scan(body, x, enc["blocks"])
@@ -580,8 +591,7 @@ def whisper_decode(
     cols = lang_cols if collect_lang_cols else None
     dec_cfg = cfg.part("decoder")
 
-    def body(carry, layer_params):
-        h = carry
+    def block_fn(h, layer_params):
         h, aux = residual_block(
             layer_params, h, xa, causal=True, n_head=cfg.n_text_head,
             cfg=dec_cfg, lang_cols=cols, full_scores=collect_full_maps,
@@ -595,6 +605,12 @@ def whisper_decode(
                 aux.get("qk_full", 0),
             )
         return h, out
+
+    if cfg.remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def body(carry, layer_params):
+        return block_fn(carry, layer_params)
 
     x, layer_aux = jax.lax.scan(body, x, dec["blocks"])
 

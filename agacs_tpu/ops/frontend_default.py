@@ -37,19 +37,6 @@ class DefaultFrontendConfig:
     normalize: str | None = "utterance_mvn"  # ASRTask default (tasks/asr.py)
 
 
-@functools.lru_cache(maxsize=None)
-def _dft_bases_win(n_fft: int, win_length: int) -> tuple[np.ndarray, np.ndarray]:
-    n_bins = n_fft // 2 + 1
-    n = np.arange(n_fft, dtype=np.float64)[:, None]
-    k = np.arange(n_bins, dtype=np.float64)[None, :]
-    ang = 2.0 * np.pi * n * k / n_fft
-    w = np.zeros((n_fft, 1))
-    # torch.stft centers a win_length window inside n_fft
-    off = (n_fft - win_length) // 2
-    w[off : off + win_length, 0] = hann_window(win_length)
-    return (np.cos(ang) * w).astype(np.float32), (np.sin(ang) * w).astype(np.float32)
-
-
 def default_frontend(
     audio: jax.Array,
     ilens: jax.Array,
@@ -67,16 +54,11 @@ def default_frontend(
     win = config.win_length or n_fft
     n_frames = audio.shape[1] // hop + 1
 
-    pad = n_fft // 2
-    padded = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(n_fft)[None, :]
-    frames = padded[:, idx]
+    from agacs_tpu.ops.stft import stft_power
 
-    cos_b, sin_b = _dft_bases_win(n_fft, win)
-    re = jnp.dot(frames, jnp.asarray(cos_b), precision=precision)
-    im = jnp.dot(frames, jnp.asarray(sin_b), precision=precision)
-    power = re * re + im * im
+    power = stft_power(
+        audio, n_fft, hop, win_length=win, n_frames=n_frames, precision=precision
+    )
 
     mel_t = jnp.asarray(
         mel_filterbank(config.fs, n_fft, config.n_mels, config.fmin, config.fmax).T

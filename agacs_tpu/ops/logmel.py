@@ -109,27 +109,6 @@ def mel_filterbank(
     return weights.astype(np.float32)
 
 
-@functools.lru_cache(maxsize=None)
-def _dft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
-    """Windowed real-DFT bases (n_fft, n_fft//2+1) so that
-    frames @ cos - i * frames @ sin == rfft(frames * window)."""
-    n_bins = n_fft // 2 + 1
-    n = np.arange(n_fft, dtype=np.float64)[:, None]
-    k = np.arange(n_bins, dtype=np.float64)[None, :]
-    ang = 2.0 * np.pi * n * k / n_fft
-    w = hann_window(n_fft)[:, None]
-    return (np.cos(ang) * w).astype(np.float32), (np.sin(ang) * w).astype(np.float32)
-
-
-def _frame_signal(audio: jax.Array, n_fft: int, hop: int, n_frames: int) -> jax.Array:
-    """(B, T) reflect-padded framing → (B, n_frames, n_fft)."""
-    pad = n_fft // 2
-    padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(n_fft)[None, :]  # (F, n_fft), static
-    return padded[:, idx]
-
-
 def log_mel_spectrogram(
     audio: jax.Array,
     ilens: jax.Array | None = None,
@@ -156,11 +135,11 @@ def log_mel_spectrogram(
     # torch.stft(center=True) yields 1 + T//hop frames; whisper drops the last.
     n_frames = audio.shape[1] // hop
 
-    frames = _frame_signal(audio.astype(jnp.float32), n_fft, hop, n_frames)
-    cos_b, sin_b = _dft_bases(n_fft)
-    re = jnp.dot(frames, jnp.asarray(cos_b), precision=precision)
-    im = jnp.dot(frames, jnp.asarray(sin_b), precision=precision)
-    power = re * re + im * im  # (B, F, n_bins)
+    from agacs_tpu.ops.stft import stft_power
+
+    power = stft_power(
+        audio, n_fft, hop, n_frames=n_frames, precision=precision
+    )  # (B, F, n_bins)
 
     mel_t = jnp.asarray(mel_filterbank(config.sample_rate, n_fft, config.n_mels).T)
     mel_spec = jnp.dot(power, mel_t, precision=precision)  # (B, F, n_mels)

@@ -73,6 +73,7 @@ def make_train_step(
     accum_grad: int = 1,
     loss_fn: Callable | None = None,
     donate: bool = True,
+    trainable_mask: Any = None,
 ):
     """Returns jitted step(state, batch) -> (state, stats).
 
@@ -80,10 +81,20 @@ def make_train_step(
     (microbatches stacked): each leaf is (accum, B_micro, ...). Gradients
     are averaged over microbatches — same effective update as the
     reference's loss/accum_grad backward accumulation (trainer.py:628).
+
+    `trainable_mask` (the build_tx mask) cuts the VJP at frozen leaves via
+    stop_gradient so XLA never computes their weight grads at all — with
+    remat + adapter-only tuning this removes ~250 MB/step of grad math that
+    the optax zero-mask would otherwise only discard after the fact.
     """
     fwd = loss_fn or asr_model.forward
 
     def loss_and_stats(params, batch, rng):
+        if trainable_mask is not None:
+            params = jax.tree.map(
+                lambda p, m: p if m else jax.lax.stop_gradient(p),
+                params, trainable_mask,
+            )
         loss, stats = fwd(params, cfg, batch, train=True, rng=rng)
         return loss, stats
 

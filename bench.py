@@ -67,9 +67,9 @@ def main():
         "cs_labels": jnp.asarray(labels),
     }
 
-    tx, _ = build_tx(params, OptimConfig(warmup_steps=500), freeze_preset="adapter")
+    tx, mask = build_tx(params, OptimConfig(warmup_steps=500), freeze_preset="adapter")
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
-    step = make_train_step(cfg, tx)
+    step = make_train_step(cfg, tx, trainable_mask=mask)
 
     state, stats = step(state, batch)  # compile
     float(stats["loss"])
