@@ -78,8 +78,10 @@ class WhisperConfig:
     # rematerialize block activations in backward (jax.checkpoint around
     # each scanned block): profiling showed the un-rematted backward saves
     # ~2 GB of fp32 attention scores + residuals per whisper-small step —
-    # recomputing beats that HBM traffic on v5e.
-    remat: bool = True
+    # recomputing beats that HBM traffic on v5e. "full" recomputes
+    # everything; "dots" saves matmul outputs (less recompute, more memory);
+    # "none"/False disables.
+    remat: str | bool = "full"
 
     def part(self, which: str) -> "WhisperConfig":
         """Effective config for 'encoder' or 'decoder' blocks: resolves the
@@ -171,6 +173,14 @@ def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.
 # ---------------------------------------------------------------------------
 # attention
 # ---------------------------------------------------------------------------
+
+
+def _maybe_remat(fn, remat):
+    if remat in (False, None, "none"):
+        return fn
+    if remat == "dots":
+        return jax.checkpoint(fn, policy=jax.checkpoint_policies.dots_saveable)
+    return jax.checkpoint(fn)
 
 
 def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
@@ -508,8 +518,7 @@ def whisper_encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Ar
         )
         return h
 
-    if cfg.remat:
-        block_fn = jax.checkpoint(block_fn)
+    block_fn = _maybe_remat(block_fn, cfg.remat)
 
     def body(carry, layer_params):
         h = block_fn(carry, layer_params)
@@ -606,8 +615,7 @@ def whisper_decode(
             )
         return h, out
 
-    if cfg.remat:
-        block_fn = jax.checkpoint(block_fn)
+    block_fn = _maybe_remat(block_fn, cfg.remat)
 
     def body(carry, layer_params):
         return block_fn(carry, layer_params)
