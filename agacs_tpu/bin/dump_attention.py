@@ -41,8 +41,39 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--utts", nargs="*", default=None)
     p.add_argument("--from_hyp", action="store_true",
                    help="dump maps for the greedy hypothesis instead of the reference text")
+    p.add_argument("--plot", action="store_true",
+                   help="also render per-layer PNG heatmap grids (the "
+                        "attention_map.md plotly dumps, as matplotlib)")
     p.add_argument("--compute_dtype", default="float32")
     return p
+
+
+def _plot_maps(maps, token_strs, out_png: str) -> None:
+    """(L, h, T, T) score maps -> one PNG grid of post-softmax heatmaps."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    l_n, h_n, t, _ = maps.shape
+    probs = np.where(np.isfinite(maps), maps, -1e30)
+    probs = np.exp(probs - probs.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    fig, axes = plt.subplots(l_n, h_n, figsize=(2.2 * h_n, 2.2 * l_n))
+    axes = np.atleast_2d(axes)
+    for li in range(l_n):
+        for hi in range(h_n):
+            ax = axes[li, hi]
+            ax.imshow(probs[li, hi], cmap="viridis", aspect="auto")
+            ax.set_xticks([]), ax.set_yticks([])
+            if hi == 0:
+                ax.set_ylabel(f"L{li}", fontsize=8)
+            if li == 0:
+                ax.set_title(f"H{hi}", fontsize=8)
+    fig.suptitle(" ".join(token_strs)[:120], fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=90)
+    plt.close(fig)
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -87,6 +118,10 @@ def main(argv: list[str] | None = None) -> dict:
         with open(os.path.join(args.output_dir, f"{utt}.json"), "w") as f:
             json.dump({"tokens": token_strs, "shape": list(maps.shape)}, f,
                       ensure_ascii=False)
+        if args.plot:
+            _plot_maps(
+                maps, token_strs, os.path.join(args.output_dir, f"{utt}.png")
+            )
         dumped[utt] = maps.shape
         logging.info("%s: maps %s", utt, maps.shape)
     return dumped
