@@ -149,12 +149,18 @@ def main(argv: list[str] | None = None) -> dict:
 
     def run_batches(ds, batch_ids, sub, step_fn, is_train):
         nonlocal state
-        for i, utts in enumerate(batch_ids):
+
+        def make_batch(utts):
+            batch = collate_batch([ds[u] for u in utts])
+            batch.pop("utt_ids")
+            batch.pop("text_lengths")
+            return batch
+
+        from agacs_tpu.data.prefetch import prefetch_batches
+
+        batches = prefetch_batches(make_batch, batch_ids, lookahead=2)
+        for i, (utts, batch) in enumerate(zip(batch_ids, batches)):
             with sub.measure_time("iter_time"):
-                items = [ds[u] for u in utts]
-                batch = collate_batch(items)
-                batch.pop("utt_ids")
-                batch.pop("text_lengths")
                 batch = shard_batch(mesh, batch)
                 with sub.measure_time("step_time"):
                     if is_train:

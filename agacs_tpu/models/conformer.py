@@ -59,6 +59,14 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+def dropout(rng: jax.Array | None, x: jax.Array, rate: float) -> jax.Array:
+    """Inverted dropout; identity when rng is None (eval) or rate == 0."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # positional encodings
 # ---------------------------------------------------------------------------
@@ -261,9 +269,12 @@ def _conv_module(p: Params, x: jax.Array, valid: jax.Array, kernel: int):
 
 
 def conformer_encode(
-    params: Params, cfg: ConformerConfig, feats: jax.Array, ilens: jax.Array
+    params: Params, cfg: ConformerConfig, feats: jax.Array, ilens: jax.Array,
+    rng: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """(B, T, F) features -> (B, T/4, d), olens."""
+    """(B, T, F) features -> (B, T/4, d), olens. `rng` enables dropout on
+    every residual branch (train_asr_conformer.yaml: dropout_rate 0.1,
+    espnet EncoderLayer semantics); None = eval."""
     x, olens = _conv2d_subsample(params["subsample"], feats.astype(cfg.compute_dtype), ilens)
     t = x.shape[1]
     d = cfg.output_size
@@ -271,21 +282,42 @@ def conformer_encode(
     pos = jnp.asarray(rel_positional_encoding(t, d)).astype(x.dtype)
     valid = jnp.arange(t)[None, :] < olens[:, None]
 
-    def body(h, bp):
+    rng_c = rng if rng is not None else jax.random.PRNGKey(0)
+    use_dropout = rng is not None and cfg.dropout_rate > 0.0
+
+    def body(carry, bp):
+        h, r = carry
+        r, r1, r2, r3, r4 = jax.random.split(r, 5)
+        rs = (r1, r2, r3, r4) if use_dropout else (None, None, None, None)
+        drop = cfg.dropout_rate
         if cfg.macaron_style:
-            h = h + 0.5 * _ffn_fwd(bp["ff1"], layer_norm(h, bp["ff1_ln"]))
-        h = h + _rel_attn(
-            bp["attn"], layer_norm(h, bp["attn_ln"]), pos, valid, cfg.attention_heads
+            h = h + 0.5 * dropout(
+                rs[0], _ffn_fwd(bp["ff1"], layer_norm(h, bp["ff1_ln"])), drop
+            )
+        h = h + dropout(
+            rs[1],
+            _rel_attn(
+                bp["attn"], layer_norm(h, bp["attn_ln"]), pos, valid,
+                cfg.attention_heads,
+            ),
+            drop,
         )
         if cfg.use_cnn_module:
-            h = h + _conv_module(
-                bp["conv"], layer_norm(h, bp["conv_ln"]), valid, cfg.cnn_module_kernel
+            h = h + dropout(
+                rs[2],
+                _conv_module(
+                    bp["conv"], layer_norm(h, bp["conv_ln"]), valid,
+                    cfg.cnn_module_kernel,
+                ),
+                drop,
             )
-        h = h + 0.5 * _ffn_fwd(bp["ff2"], layer_norm(h, bp["ff2_ln"]))
+        h = h + 0.5 * dropout(
+            rs[3], _ffn_fwd(bp["ff2"], layer_norm(h, bp["ff2_ln"])), drop
+        )
         h = layer_norm(h, bp["final_ln"])
-        return h, 0
+        return (h, r), 0
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    (x, _), _ = jax.lax.scan(body, (x, rng_c), params["blocks"])
     x = layer_norm(x, params["after_ln"])
     return x, olens
 

@@ -67,9 +67,14 @@ def init_conformer_asr_params(rng: jax.Array, cfg: ConformerASRConfig) -> dict:
 def encode(params, cfg: ConformerASRConfig, speech, speech_lengths,
            train=False, rng=None):
     feats, flens = default_frontend(speech, speech_lengths, cfg.frontend)
-    if train and cfg.use_specaug and rng is not None:
-        feats = specaug(rng, feats, cfg.specaug)
-    return conformer_encode(params["encoder"], cfg.encoder, feats, flens)
+    drop_rng = None
+    if train and rng is not None:
+        rng, drop_rng = jax.random.split(rng)
+        if cfg.use_specaug:
+            feats = specaug(rng, feats, cfg.specaug)
+    return conformer_encode(
+        params["encoder"], cfg.encoder, feats, flens, rng=drop_rng
+    )
 
 
 def forward(params, cfg: ConformerASRConfig, batch, train=True, rng=None):
