@@ -21,6 +21,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite compiles many tiny models
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/agacs_tpu/jax_test"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()
