@@ -176,8 +176,8 @@ def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.
 
 
 def _maybe_remat(fn, remat):
-    if remat in (False, None, "none"):
-        return fn
+    if remat in (False, None, "none", "mlp"):
+        return fn  # "mlp" checkpoints inside the block instead
     if remat == "dots":
         return jax.checkpoint(fn, policy=jax.checkpoint_policies.dots_saveable)
     return jax.checkpoint(fn)
@@ -326,7 +326,12 @@ def residual_block(
             backend=cfg.attention_backend,
         )
         x = x + cross_out
-    x = x + mlp_fwd(p["mlp"], layer_norm(x, p["mlp_ln"]))
+    mlp = mlp_fwd
+    if cfg.remat == "mlp":
+        # selective remat: recompute only the 4x-wide MLP in backward;
+        # attention memory is handled by the flash kernel's custom VJP
+        mlp = jax.checkpoint(mlp_fwd)
+    x = x + mlp(p["mlp"], layer_norm(x, p["mlp_ln"]))
     if cfg.adapter:
         x = adapter_fwd(p["adapter_mlp"], x)
         x = layer_norm(x, p["adapter_mlp_ln"])

@@ -1,0 +1,114 @@
+"""Ladder side-network variant: forward/backward, sidenetwork freeze
+preset, checkpoint import of side params from a reference-shaped state
+dict."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.models.asr_model import ASRModelConfig, forward, init_asr_params
+from agacs_tpu.models.whisper import (
+    SideNetworkConfig,
+    WhisperConfig,
+    init_whisper_params,
+    whisper_decode,
+    whisper_encode,
+)
+from agacs_tpu.train.freeze import count_trainable, trainable_mask
+from agacs_tpu.train.optim import OptimConfig
+from agacs_tpu.train.trainer import build_tx, create_train_state, make_train_step
+
+SIDE = SideNetworkConfig(n_dim=32, n_head=4, layers=(0, 1))
+CFG = WhisperConfig(
+    n_mels=80, n_audio_ctx=16, n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+    n_vocab=51865, n_text_ctx=32, n_text_state=64, n_text_head=4, n_text_layer=2,
+    side_network=SIDE,
+)
+
+
+def test_side_network_forward_shapes():
+    params = init_whisper_params(jax.random.PRNGKey(0), CFG)
+    assert "encoder_side" in params and "decoder_side" in params
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 80))
+    enc = whisper_encode(params, CFG, mel)
+    assert enc.shape == (2, 16, 64)
+    toks = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    logits, _ = whisper_decode(params, CFG, toks, enc)
+    assert logits.shape == (2, 3, 51865)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_side_network_training_with_freeze():
+    cfg = ASRModelConfig(whisper=CFG, use_specaug=False)
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    tx, mask = build_tx(params, OptimConfig(warmup_steps=2),
+                        freeze_preset="sidenetwork")
+    n_train, n_total = count_trainable(params, mask)
+    assert 0 < n_train < n_total
+    # trunk frozen, side nets trainable
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, m in flat:
+        name = ".".join(str(getattr(k, "key", k)) for k in path)
+        if name.startswith(("encoder_side", "decoder_side")):
+            assert m, name
+        elif name.startswith(("encoder.", "decoder.")):
+            assert not m, name
+
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, trainable_mask=mask)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 160 * 32).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.full((2,), 160 * 32, jnp.int32),
+        "text": jnp.asarray([[5, 6, 7, -1], [8, 9, -1, -1]], jnp.int32),
+    }
+    trunk_before = np.asarray(params["decoder"]["token_emb"])
+    side_before = np.asarray(params["decoder_side"]["downsample_input"]["w"])
+    losses = []
+    for _ in range(3):
+        state, stats = step(state, batch)
+        losses.append(float(stats["loss"]))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder"]["token_emb"]), trunk_before
+    )
+    assert not np.allclose(
+        np.asarray(state.params["decoder_side"]["downsample_input"]["w"]),
+        side_before,
+    )
+
+
+def test_side_network_checkpoint_import():
+    """Side params import from a reference-shaped torch state dict
+    (encoder_sidenetwork.* / decoder_sidenetwork.* names)."""
+    import torch
+
+    from agacs_tpu.models.checkpoint import params_from_state_dict
+    from reference_oracle import import_reference_whisper, tiny_dims
+
+    wm = import_reference_whisper()
+    torch.manual_seed(0)
+    model = wm.Whisper(
+        tiny_dims(wm, n_vocab=51865), side_network=True,
+        side_network_conf={"n_dim": 32, "n_head": 4, "layers": [0, 1]},
+    )
+    torch.nn.init.normal_(model.decoder.positional_embedding, 0.0, 0.02)
+    sd = model.state_dict()
+    cfg = dataclasses.replace(
+        CFG,
+        n_audio_ctx=20, n_text_ctx=16,
+    )
+    params = params_from_state_dict(sd, cfg)
+    # side weights actually came from the checkpoint (not random template)
+    ref_w = sd["encoder_sidenetwork.downsample_input.weight"].numpy().T
+    np.testing.assert_allclose(
+        np.asarray(params["encoder_side"]["downsample_input"]["w"]), ref_w
+    )
+    ref_g = sd["decoder_sidenetwork.sigmoid_gate_intermediate_layers.0"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(params["decoder_side"]["gates"][0]), ref_g.reshape(())
+    )
