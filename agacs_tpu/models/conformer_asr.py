@@ -40,6 +40,10 @@ class ConformerASRConfig:
     encoder: ConformerConfig = ConformerConfig()
     decoder: TransformerDecoderConfig = TransformerDecoderConfig()
     frontend: DefaultFrontendConfig = DefaultFrontendConfig()
+    # path to collect_stats feats_stats.npz when frontend.normalize ==
+    # "global_mvn" (layers/global_mvn.py stats file role); loaded into
+    # params["mvn"] by init_conformer_asr_params
+    mvn_stats_path: str | None = None
     ctc_weight: float = 0.3
     lsm_weight: float = 0.1
     length_normalized_loss: bool = False
@@ -53,7 +57,7 @@ class ConformerASRConfig:
 def init_conformer_asr_params(rng: jax.Array, cfg: ConformerASRConfig) -> dict:
     k1, k2, k3 = jax.random.split(rng, 3)
     d = cfg.encoder.output_size
-    return {
+    params = {
         "encoder": init_conformer_params(k1, cfg.encoder),
         "decoder": init_transformer_decoder_params(k2, cfg.decoder),
         "ctc": {
@@ -62,11 +66,37 @@ def init_conformer_asr_params(rng: jax.Array, cfg: ConformerASRConfig) -> dict:
             "b": jnp.zeros((cfg.decoder.vocab_size,), jnp.float32),
         },
     }
+    if cfg.frontend.normalize == "global_mvn":
+        import numpy as np
+
+        if cfg.mvn_stats_path:
+            stats = np.load(cfg.mvn_stats_path)
+            mean, std = stats["mean"], stats["std"]
+        else:  # identity stats until collect_stats output is provided
+            mean = np.zeros((cfg.frontend.n_mels,), np.float32)
+            std = np.ones((cfg.frontend.n_mels,), np.float32)
+        params["mvn"] = {
+            "mean": jnp.asarray(mean, jnp.float32),
+            "std": jnp.asarray(std, jnp.float32),
+        }
+    return params
 
 
 def encode(params, cfg: ConformerASRConfig, speech, speech_lengths,
            train=False, rng=None):
-    feats, flens = default_frontend(speech, speech_lengths, cfg.frontend)
+    import dataclasses as _dc
+
+    fe_cfg = cfg.frontend
+    if fe_cfg.normalize == "global_mvn":
+        # MVN applied here with corpus stats; frontend skips its own
+        fe_cfg = _dc.replace(fe_cfg, normalize=None)
+    feats, flens = default_frontend(speech, speech_lengths, fe_cfg)
+    if cfg.frontend.normalize == "global_mvn":
+        from agacs_tpu.ops.frontend_default import global_mvn
+
+        feats = global_mvn(
+            feats, flens, params["mvn"]["mean"], params["mvn"]["std"]
+        )
     drop_rng = None
     if train and rng is not None:
         rng, drop_rng = jax.random.split(rng)

@@ -199,6 +199,8 @@ def task_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> Task:
             d_model=enc.output_size,
             compute_dtype=compute_dtype,
         )
+        normalize = d.get("normalize", "utterance_mvn")
+        norm_conf = d.get("normalize_conf", {}) or {}
         cfg = conformer_asr.ConformerASRConfig(
             encoder=enc,
             decoder=dec,
@@ -206,7 +208,9 @@ def task_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> Task:
                 n_fft=int(frontend_conf.get("n_fft", 512)),
                 hop_length=int(frontend_conf.get("hop_length", 128)),
                 n_mels=int(frontend_conf.get("n_mels", 80)),
+                normalize=normalize if normalize not in ("none",) else None,
             ),
+            mvn_stats_path=norm_conf.get("stats_file"),
             ctc_weight=float(model_conf.get("ctc_weight", 0.3)),
             lsm_weight=float(model_conf.get("lsm_weight", 0.1)),
             length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),

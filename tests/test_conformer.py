@@ -128,6 +128,37 @@ def test_transformer_decoder_cached_step_matches_full():
     )
 
 
+def test_global_mvn_path(tmp_path):
+    """normalize: global_mvn with a collect_stats file normalizes features
+    with corpus stats carried in params['mvn']."""
+    import dataclasses
+
+    from agacs_tpu.models.conformer_asr import encode as c_encode
+    from agacs_tpu.ops.frontend_default import DefaultFrontendConfig
+
+    stats = str(tmp_path / "feats_stats.npz")
+    mean = np.full((80,), 2.0, np.float32)
+    std = np.full((80,), 4.0, np.float32)
+    np.savez(stats, mean=mean, std=std, count=np.asarray(100))
+
+    cfg = ConformerASRConfig(
+        encoder=SMALL_ENC, decoder=SMALL_DEC, use_specaug=False,
+        frontend=DefaultFrontendConfig(normalize="global_mvn"),
+        mvn_stats_path=stats,
+    )
+    params = init_conformer_asr_params(jax.random.PRNGKey(0), cfg)
+    np.testing.assert_array_equal(np.asarray(params["mvn"]["mean"]), mean)
+
+    speech = jnp.asarray(np.random.RandomState(0).randn(1, 16000).astype(np.float32))
+    lens = jnp.array([16000])
+    out1, _ = c_encode(params, cfg, speech, lens)
+    # identity stats give a different encoding than corpus stats
+    params2 = dict(params)
+    params2["mvn"] = {"mean": jnp.zeros(80), "std": jnp.ones(80)}
+    out2, _ = c_encode(params2, cfg, speech, lens)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
 def test_hybrid_train_step_decreases_loss():
     cfg = ConformerASRConfig(
         encoder=SMALL_ENC, decoder=SMALL_DEC, ctc_weight=0.3, use_specaug=False
