@@ -1,0 +1,50 @@
+"""Single-file transcription — the `code_util/whisper_check.py` /
+`espnet/inference.py` equivalent: config + checkpoint + one audio file →
+text on stdout.
+
+  PYTHONPATH=. python tools/transcribe.py exp/x/config.yaml \
+      exp/x/valid.acc.ave.params.npz utterance.wav [--beam_size 1]
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("params")
+    ap.add_argument("wav")
+    ap.add_argument("--beam_size", type=int, default=1)
+    ap.add_argument("--max_steps", type=int, default=200)
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    from agacs_tpu.data.io import read_wav
+    from agacs_tpu.decode.speech2text import Speech2Text
+    from agacs_tpu.train.checkpoint import load_pytree_like
+    from agacs_tpu.utils.config import load_yaml, task_from_dict
+    from agacs_tpu.utils.runtime import setup
+
+    setup()
+    task = task_from_dict(
+        load_yaml(args.config), compute_dtype=getattr(jnp, args.compute_dtype)
+    )
+    assert task.kind == "whisper", "use bin/decode for the conformer family"
+    params = load_pytree_like(
+        args.params, task.init_fn(jax.random.PRNGKey(0), task.cfg)
+    )
+    s2t = Speech2Text(
+        params, task.cfg, beam_size=args.beam_size, max_steps=args.max_steps
+    )
+    audio, sr = read_wav(args.wav)
+    assert sr == 16000
+    result = s2t(audio)[0]
+    print(result.text)
+    print(f"# 1/RTF: {s2t.inverse_rtf:.1f}x realtime (incl compile)")
+
+
+if __name__ == "__main__":
+    main()
