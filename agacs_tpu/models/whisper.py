@@ -711,7 +711,22 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, audio_feats: jax.Arr
         return 0, (linear(xa, ca["key"]), linear(xa, ca["value"]))
 
     _, (k, v) = jax.lax.scan(body, 0, params["decoder"]["blocks"])
-    return {"k": k, "v": v}
+    out = {"k": k, "v": v}
+
+    if cfg.side_network is not None:
+        # side ladder: memory is downsampled once, then each side block
+        # has its own cross K/V (whisper_decoder.py:210 downsample_encoder_input)
+        sp = params["decoder_side"]
+        xa_side = linear(xa, sp["downsample_encoder_input"])
+        ks, vs = [], []
+        n_side = len(cfg.side_network.layers)
+        for i in range(n_side):
+            ca = jax.tree.map(lambda a: a[i], sp["blocks"]["cross_attn"])
+            ks.append(linear(xa_side, ca["key"]))
+            vs.append(linear(xa_side, ca["value"]))
+        out["side_k"] = jnp.stack(ks)
+        out["side_v"] = jnp.stack(vs)
+    return out
 
 
 def init_self_kv_cache(cfg: WhisperConfig, batch: int, max_len: int | None = None) -> Params:
@@ -723,6 +738,12 @@ def init_self_kv_cache(cfg: WhisperConfig, batch: int, max_len: int | None = Non
     }
     if cfg.part("decoder").pe_attention:
         cache["k_cs"] = jnp.zeros(shape, cfg.compute_dtype)
+    if cfg.side_network is not None:
+        sshape = (
+            len(cfg.side_network.layers), batch, max_len, cfg.side_network.n_dim
+        )
+        cache["side_k"] = jnp.zeros(sshape, cfg.compute_dtype)
+        cache["side_v"] = jnp.zeros(sshape, cfg.compute_dtype)
     return cache
 
 
@@ -816,12 +837,73 @@ def whisper_decode_step(
             h = adapter_fwd(layer_params["adapter_mlp"], h)
             h = layer_norm(h, layer_params["adapter_mlp_ln"])
 
-        return h, new_slice
+        return h, (new_slice, h)
 
-    x, new_kv = jax.lax.scan(
-        body, x, (params["decoder"]["blocks"], cross_kv["k"], cross_kv["v"], self_kv)
+    x_embed = x
+    trunk_kv = {k: v for k, v in self_kv.items() if not k.startswith("side_")}
+    x, (new_kv, trunk_outs) = jax.lax.scan(
+        body, x, (params["decoder"]["blocks"], cross_kv["k"], cross_kv["v"], trunk_kv)
     )
 
-    x = layer_norm(x, dec["ln"])
+    if cfg.side_network is not None:
+        # ladder side network replaces the trunk output head
+        # (whisper_decoder.py:208-236), with its own KV caches
+        x, side_new = _side_decode_step(
+            params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, key_mask
+        )
+        new_kv.update(side_new)
+    else:
+        x = layer_norm(x, dec["ln"])
     logits = jnp.dot(x[:, 0, :], dec["token_emb"].T.astype(x.dtype)).astype(jnp.float32)
     return logits, new_kv
+
+
+def _side_decode_step(params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, key_mask):
+    """One cached step through the decoder side ladder. trunk_outs:
+    (L, B, 1, d) per-layer trunk outputs from this step's scan."""
+    side = cfg.side_network
+    sp = params["decoder_side"]
+    n_head = side.n_head
+    scale = (side.n_dim // side.n_head) ** -0.25
+
+    h_side = linear(x_embed, sp["downsample_input"])
+    new_k = []
+    new_v = []
+    for i, layer_idx in enumerate(side.layers):
+        bp = jax.tree.map(lambda a: a[i], sp["blocks"])
+        down = linear(trunk_outs[layer_idx], jax.tree.map(lambda a: a[i], sp["downsample_layers"]))
+        g = jax.nn.sigmoid(sp["gates"][i]).astype(down.dtype)
+        h = (1.0 - g) * down + g * h_side
+
+        # self-attention with cache
+        y = layer_norm(h, bp["attn_ln"])
+        k_c = jax.lax.dynamic_update_slice(
+            self_kv["side_k"][i], linear(y, bp["attn"]["key"]), (0, pos, 0)
+        )
+        v_c = jax.lax.dynamic_update_slice(
+            self_kv["side_v"][i], linear(y, bp["attn"]["value"]), (0, pos, 0)
+        )
+        new_k.append(k_c)
+        new_v.append(v_c)
+        qh = _split_heads(linear(y, bp["attn"]["query"]), n_head) * scale
+        kh = _split_heads(k_c, n_head) * scale
+        vh = _split_heads(v_c, n_head)
+        qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+        qk = jnp.where(key_mask, qk, -jnp.inf)
+        w = jax.nn.softmax(qk, -1).astype(vh.dtype)
+        h = h + linear(_merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, vh)), bp["attn"]["out"])
+
+        # cross-attention over the downsampled memory (precomputed K/V)
+        y = layer_norm(h, bp["cross_attn_ln"])
+        qc = _split_heads(linear(y, bp["cross_attn"]["query"]), n_head) * scale
+        kc = _split_heads(cross_kv["side_k"][i], n_head) * scale
+        vc = _split_heads(cross_kv["side_v"][i], n_head)
+        qkc = jnp.einsum("bhqd,bhkd->bhqk", qc, kc).astype(jnp.float32)
+        wc = jax.nn.softmax(qkc, -1).astype(vc.dtype)
+        h = h + linear(_merge_heads(jnp.einsum("bhqk,bhkd->bhqd", wc, vc)), bp["cross_attn"]["out"])
+
+        h = h + mlp_fwd(bp["mlp"], layer_norm(h, bp["mlp_ln"]))
+        h_side = h
+
+    out = layer_norm(linear(h_side, sp["upsample_output"]), sp["ln"])
+    return out, {"side_k": jnp.stack(new_k), "side_v": jnp.stack(new_v)}

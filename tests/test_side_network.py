@@ -82,6 +82,34 @@ def test_side_network_training_with_freeze():
     )
 
 
+def test_side_network_cached_decode_matches_full():
+    from agacs_tpu.models.whisper import (
+        init_self_kv_cache,
+        precompute_cross_kv,
+        whisper_decode_step,
+    )
+
+    params = init_whisper_params(jax.random.PRNGKey(0), CFG)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64), jnp.float32)
+    tokens = jnp.array([[3, 5, 7, 2], [1, 4, 6, 8]], dtype=jnp.int32)
+
+    full_logits, _ = whisper_decode(params, CFG, tokens, enc)
+
+    cross_kv = precompute_cross_kv(params, CFG, enc)
+    assert "side_k" in cross_kv
+    self_kv = init_self_kv_cache(CFG, batch=2, max_len=8)
+    assert "side_k" in self_kv
+    outs = []
+    for pos in range(tokens.shape[1]):
+        lg, self_kv = whisper_decode_step(
+            params, CFG, tokens[:, pos], jnp.int32(pos), self_kv, cross_kv
+        )
+        outs.append(np.asarray(lg))
+    np.testing.assert_allclose(
+        np.stack(outs, 1), np.asarray(full_logits), atol=2e-4, rtol=1e-4
+    )
+
+
 def test_side_network_checkpoint_import():
     """Side params import from a reference-shaped torch state dict
     (encoder_sidenetwork.* / decoder_sidenetwork.* names)."""
