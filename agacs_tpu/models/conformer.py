@@ -271,10 +271,15 @@ def _conv_module(p: Params, x: jax.Array, valid: jax.Array, kernel: int):
 def conformer_encode(
     params: Params, cfg: ConformerConfig, feats: jax.Array, ilens: jax.Array,
     rng: jax.Array | None = None,
-) -> tuple[jax.Array, jax.Array]:
+    interctc_layers: tuple[int, ...] = (),
+) -> tuple[jax.Array, jax.Array] | tuple[jax.Array, jax.Array, list]:
     """(B, T, F) features -> (B, T/4, d), olens. `rng` enables dropout on
     every residual branch (train_asr_conformer.yaml: dropout_rate 0.1,
-    espnet EncoderLayer semantics); None = eval."""
+    espnet EncoderLayer semantics); None = eval.
+
+    `interctc_layers`: 1-based layer indices whose outputs are also
+    returned (intermediate CTC taps, conformer_encoder.py
+    interctc_layer_idx) — returns (out, olens, [(idx, h_idx), ...])."""
     x, olens = _conv2d_subsample(params["subsample"], feats.astype(cfg.compute_dtype), ilens)
     t = x.shape[1]
     d = cfg.output_size
@@ -315,10 +320,13 @@ def conformer_encode(
             rs[3], _ffn_fwd(bp["ff2"], layer_norm(h, bp["ff2_ln"])), drop
         )
         h = layer_norm(h, bp["final_ln"])
-        return (h, r), 0
+        return (h, r), h
 
-    (x, _), _ = jax.lax.scan(body, (x, rng_c), params["blocks"])
+    (x, _), layer_outs = jax.lax.scan(body, (x, rng_c), params["blocks"])
     x = layer_norm(x, params["after_ln"])
+    if interctc_layers:
+        inter = [(li, layer_outs[li - 1]) for li in interctc_layers]
+        return x, olens, inter
     return x, olens
 
 

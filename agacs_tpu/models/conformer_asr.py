@@ -45,6 +45,10 @@ class ConformerASRConfig:
     # params["mvn"] by init_conformer_asr_params
     mvn_stats_path: str | None = None
     ctc_weight: float = 0.3
+    # intermediate CTC (espnet_model.py:597-640 + conformer interctc_layer_idx):
+    # loss_ctc = (1-w)·ctc_final + w·mean(ctc_layer for layer in taps)
+    interctc_weight: float = 0.0
+    interctc_layers: tuple[int, ...] = ()
     lsm_weight: float = 0.1
     length_normalized_loss: bool = False
     use_specaug: bool = True
@@ -108,9 +112,35 @@ def encode(params, cfg: ConformerASRConfig, speech, speech_lengths,
 
 
 def forward(params, cfg: ConformerASRConfig, batch, train=True, rng=None):
-    enc_out, enc_lens = encode(
-        params, cfg, batch["speech"], batch["speech_lengths"], train, rng
-    )
+    use_inter = cfg.interctc_weight > 0.0 and cfg.interctc_layers
+    if use_inter:
+        feats_rng = rng
+        import dataclasses as _dc
+
+        fe_cfg = cfg.frontend
+        if fe_cfg.normalize == "global_mvn":
+            fe_cfg = _dc.replace(fe_cfg, normalize=None)
+        feats, flens = default_frontend(
+            batch["speech"], batch["speech_lengths"], fe_cfg
+        )
+        if cfg.frontend.normalize == "global_mvn":
+            from agacs_tpu.ops.frontend_default import global_mvn
+
+            feats = global_mvn(feats, flens, params["mvn"]["mean"], params["mvn"]["std"])
+        drop_rng = None
+        if train and feats_rng is not None:
+            feats_rng, drop_rng = jax.random.split(feats_rng)
+            if cfg.use_specaug:
+                feats = specaug(feats_rng, feats, cfg.specaug)
+        enc_out, enc_lens, inter = conformer_encode(
+            params["encoder"], cfg.encoder, feats, flens, rng=drop_rng,
+            interctc_layers=tuple(cfg.interctc_layers),
+        )
+    else:
+        enc_out, enc_lens = encode(
+            params, cfg, batch["speech"], batch["speech_lengths"], train, rng
+        )
+        inter = []
     text = batch["text"]
     ys_in, ys_out = add_sos_eos(text, cfg.sos, cfg.eos, cfg.ignore_id)
     ys_in_lens = jnp.sum(text != cfg.ignore_id, axis=-1) + 1
@@ -125,15 +155,27 @@ def forward(params, cfg: ConformerASRConfig, batch, train=True, rng=None):
     stats = {"loss_att": loss_att, "acc": acc}
 
     if cfg.ctc_weight > 0.0:
-        ctc_logits = (
-            jnp.dot(enc_out, params["ctc"]["w"].astype(enc_out.dtype))
-            + params["ctc"]["b"].astype(enc_out.dtype)
-        ).astype(jnp.float32)
         text_lens = jnp.sum(text != cfg.ignore_id, axis=-1)
-        loss_ctc = ctc_loss(
-            ctc_logits, enc_lens, jnp.where(text == cfg.ignore_id, 0, text), text_lens
-        )
+        labels_safe = jnp.where(text == cfg.ignore_id, 0, text)
+
+        def head_loss(h):
+            logits = (
+                jnp.dot(h, params["ctc"]["w"].astype(h.dtype))
+                + params["ctc"]["b"].astype(h.dtype)
+            ).astype(jnp.float32)
+            return ctc_loss(logits, enc_lens, labels_safe, text_lens)
+
+        loss_ctc = head_loss(enc_out)
         stats["loss_ctc"] = loss_ctc
+        if inter:
+            # shared CTC head over intermediate taps (espnet_model.py:597-640)
+            inter_losses = [head_loss(h) for _, h in inter]
+            loss_inter = sum(inter_losses) / len(inter_losses)
+            for (li, _), l_i in zip(inter, inter_losses):
+                stats[f"loss_interctc_layer{li}"] = l_i
+            loss_ctc = (
+                1.0 - cfg.interctc_weight
+            ) * loss_ctc + cfg.interctc_weight * loss_inter
         loss = cfg.ctc_weight * loss_ctc + (1.0 - cfg.ctc_weight) * loss_att
     else:
         loss = loss_att

@@ -212,6 +212,8 @@ def task_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> Task:
             ),
             mvn_stats_path=norm_conf.get("stats_file"),
             ctc_weight=float(model_conf.get("ctc_weight", 0.3)),
+            interctc_weight=float(model_conf.get("interctc_weight", 0.0)),
+            interctc_layers=tuple(enc_conf.get("interctc_layer_idx", ()) or ()),
             lsm_weight=float(model_conf.get("lsm_weight", 0.1)),
             length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
             use_specaug=d.get("specaug") == "specaug",

@@ -128,6 +128,29 @@ def test_transformer_decoder_cached_step_matches_full():
     )
 
 
+def test_interctc():
+    """Intermediate CTC (espnet_model.py:597-640 + interctc_layer_idx):
+    per-layer aux CTC losses mix into the CTC branch."""
+    cfg = ConformerASRConfig(
+        encoder=SMALL_ENC, decoder=SMALL_DEC, ctc_weight=0.3,
+        interctc_weight=0.5, interctc_layers=(1,), use_specaug=False,
+    )
+    params = init_conformer_asr_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 8000).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([8000, 8000], jnp.int32),
+        "text": jnp.asarray([[5, 6, 7, -1], [8, 9, -1, -1]], jnp.int32),
+    }
+    loss, stats = forward(params, cfg, batch, train=False, rng=None)
+    assert np.isfinite(float(loss))
+    assert "loss_interctc_layer1" in stats
+    assert np.isfinite(float(stats["loss_interctc_layer1"]))
+    # gradient reaches the shared head through the intermediate tap
+    g = jax.grad(lambda p: forward(p, cfg, batch, train=False, rng=None)[0])(params)
+    assert float(jnp.abs(g["ctc"]["w"]).sum()) > 0
+
+
 def test_global_mvn_path(tmp_path):
     """normalize: global_mvn with a collect_stats file normalizes features
     with corpus stats carried in params['mvn']."""
