@@ -95,6 +95,14 @@ def joint_beam_decode(
     else:
         ctc_logp_r = ctc_lens_r = ctc_state = None
 
+    use_lm = lm_params is not None and lm_weight > 0.0
+    if use_lm:
+        from agacs_tpu.models.lm import init_lm_kv_cache
+
+        lm_kv = init_lm_kv_cache(lm_cfg, b * k, total)
+    else:
+        lm_kv = None
+
     tokens0 = jnp.full((b, k, total), eos, jnp.int32).at[:, :, 0].set(sos)
     scores0 = jnp.full((b, k), NEG_INF, jnp.float32).at[:, 0].set(0.0)
     finished0 = jnp.zeros((b, k), bool)
@@ -104,7 +112,7 @@ def joint_beam_decode(
         return (pos < total - 1) & ~jnp.all(finished)
 
     def body(carry):
-        pos, tokens, scores, self_kv, ctc_state, finished = carry
+        pos, tokens, scores, self_kv, lm_kv, ctc_state, finished = carry
         cur = jax.lax.dynamic_index_in_dim(
             tokens.reshape(b * k, total), pos, axis=1, keepdims=False
         )
@@ -113,20 +121,10 @@ def joint_beam_decode(
         )
         logp = jax.nn.log_softmax(logits, -1)  # (B*k, V)
         full = w_att * logp
-        if lm_params is not None and lm_weight > 0.0:
-            # LM without cache: re-forward prefix (LM fusion correctness
-            # first; LM caching is a later optimization)
-            from agacs_tpu.models.lm import lm_forward
+        if use_lm:
+            from agacs_tpu.models.lm import lm_score_step_cached
 
-            prefix = jax.lax.dynamic_slice_in_dim(
-                tokens.reshape(b * k, total), 0, total, axis=1
-            )
-            lm_logits = lm_forward(lm_params, lm_cfg, prefix)
-            lm_pos = jnp.minimum(pos, total - 1)
-            lm_lp = jax.nn.log_softmax(
-                jax.lax.dynamic_index_in_dim(lm_logits, lm_pos, axis=1, keepdims=False),
-                -1,
-            )
+            lm_lp, lm_kv = lm_score_step_cached(lm_params, lm_cfg, cur, pos, lm_kv)
             full = full + lm_weight * lm_lp
 
         # pre-select candidates per beam by the full score
@@ -175,6 +173,8 @@ def joint_beam_decode(
         flat_parent = (jnp.arange(b)[:, None] * k + parent).reshape(-1)
         flat_cand = cand_idx.reshape(-1)
         self_kv = jax.tree.map(lambda x: x[:, flat_parent], self_kv)
+        if use_lm:
+            lm_kv = jax.tree.map(lambda x: x[:, flat_parent], lm_kv)
 
         if use_ctc:
             sel_rows = flat_parent
@@ -190,10 +190,10 @@ def joint_beam_decode(
             tokens, nxt[:, :, None], (0, 0, pos + 1)
         )
         finished = finished | (nxt == eos)
-        return pos + 1, tokens, new_scores, self_kv, ctc_state, finished
+        return pos + 1, tokens, new_scores, self_kv, lm_kv, ctc_state, finished
 
-    carry = (jnp.int32(0), tokens0, scores0, self_kv, ctc_state, finished0)
-    _, tokens, scores, _, _, finished = jax.lax.while_loop(cond, body, carry)
+    carry = (jnp.int32(0), tokens0, scores0, self_kv, lm_kv, ctc_state, finished0)
+    _, tokens, scores, _, _, _, finished = jax.lax.while_loop(cond, body, carry)
 
     best = jnp.argmax(scores, axis=1)
     rows = jnp.arange(b)

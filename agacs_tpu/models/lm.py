@@ -109,3 +109,57 @@ def lm_score_step(params: dict, cfg: TransformerLMConfig, prefix: jax.Array) -> 
     """(B, T) prefix -> (B, V) next-token log-probs (beam-fusion scorer)."""
     logits = lm_forward(params, cfg, prefix)
     return jax.nn.log_softmax(logits[:, -1], axis=-1)
+
+
+def init_lm_kv_cache(cfg: TransformerLMConfig, batch: int, max_len: int) -> dict:
+    shape = (cfg.num_blocks, batch, max_len, cfg.d_model)
+    return {
+        "k": jnp.zeros(shape, cfg.compute_dtype),
+        "v": jnp.zeros(shape, cfg.compute_dtype),
+    }
+
+
+def lm_score_step_cached(
+    params: dict,
+    cfg: TransformerLMConfig,
+    tokens: jax.Array,
+    pos: jax.Array,
+    kv: dict,
+) -> tuple[jax.Array, dict]:
+    """One cached AR step: tokens (B,), pos scalar -> ((B, V) log-probs,
+    new kv). The O(1)-per-step scorer for beam fusion."""
+    d = cfg.d_model
+    n_head = cfg.attention_heads
+    dk = d // n_head
+    b = tokens.shape[0]
+    max_len = kv["k"].shape[2]
+
+    x = params["embed"][tokens].astype(cfg.compute_dtype) * math.sqrt(d)
+    pe = jnp.asarray(sinusoidal_pe(max_len, d))
+    x = (x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, 0).astype(x.dtype))[:, None, :]
+    key_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]
+
+    def heads(y, t):
+        return y.reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
+
+    def body(carry, scanned):
+        h = carry
+        bp, kvs = scanned
+        hn = layer_norm(h, bp["attn_ln"])
+        k_c = jax.lax.dynamic_update_slice(kvs["k"], linear(hn, bp["attn"]["k"]), (0, pos, 0))
+        v_c = jax.lax.dynamic_update_slice(kvs["v"], linear(hn, bp["attn"]["v"]), (0, pos, 0))
+        q = heads(linear(hn, bp["attn"]["q"]), 1)
+        score = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, heads(k_c, max_len)
+        ).astype(jnp.float32) / math.sqrt(dk)
+        score = jnp.where(key_mask, score, -jnp.inf)
+        w = jax.nn.softmax(score, -1).astype(h.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(v_c, max_len))
+        h = h + linear(att.transpose(0, 2, 1, 3).reshape(b, 1, d), bp["attn"]["out"])
+        h = h + _ffn_fwd2(bp["ffn"], layer_norm(h, bp["ffn_ln"]))
+        return h, {"k": k_c, "v": v_c}
+
+    x, new_kv = jax.lax.scan(body, x, (params["blocks"], kv))
+    x = layer_norm(x, params["after_ln"])
+    logits = linear(x[:, 0], params["output"]).astype(jnp.float32)
+    return jax.nn.log_softmax(logits, -1), new_kv

@@ -56,6 +56,22 @@ def test_lm_overfits_short_corpus():
     assert int(jnp.argmax(lp[0])) == 7  # predicts the memorized continuation
 
 
+def test_lm_cached_step_matches_full():
+    from agacs_tpu.models.lm import init_lm_kv_cache, lm_score_step_cached
+
+    params = init_lm_params(jax.random.PRNGKey(0), SMALL)
+    toks = jnp.asarray([[50258, 5, 9, 12], [50258, 7, 3, 2]], jnp.int32)
+    full = jax.nn.log_softmax(lm_forward(params, SMALL, toks), -1)
+    kv = init_lm_kv_cache(SMALL, 2, 8)
+    outs = []
+    for pos in range(4):
+        lp, kv = lm_score_step_cached(params, SMALL, toks[:, pos], jnp.int32(pos), kv)
+        outs.append(np.asarray(lp))
+    np.testing.assert_allclose(
+        np.stack(outs, 1), np.asarray(full), atol=2e-4, rtol=1e-4
+    )
+
+
 def test_lm_train_cli(tmp_path):
     from agacs_tpu.bin import lm_train
     from agacs_tpu.data.io import write_scp
