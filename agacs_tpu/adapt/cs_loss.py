@@ -133,6 +133,7 @@ def cs_attention_loss(
     labels: jnp.ndarray,
     head_mask: jnp.ndarray,
     c_val: float = 0.6,
+    layer_offset: int = 0,
 ) -> jnp.ndarray:
     """The shipped CS loss (espnet_model.py:463-530) from score columns.
 
@@ -142,6 +143,13 @@ def cs_attention_loss(
       labels: (B, T) int labels from `attention_target_labels`.
       head_mask: (L, h) 0/1 float — selected heads.
       c_val: target attention value on the logit scale (c_val_attention).
+      layer_offset: absolute index of qk_cols' first layer (src_layer-1
+        when the decoder only collects maps from src_layer on).
+
+    Layers 0-1 (absolute) get the reference's early-layer sot pattern
+    (espnet_model.py:479-487): zeros at the language columns for EVERY
+    row — no inf padding, so pad rows of the map are NOT zeroed there.
+    Layers >= 2 get the language pattern with inf-masked pad rows.
 
     Returns scalar loss = mean over batch of Σ_{layer,head} masked
     per-head mean-over-nonzero-rows of Σ_cols (map - target)².
@@ -151,12 +159,15 @@ def cs_attention_loss(
     maps = jnp.transpose(qk_cols, (1, 0, 2, 3, 4))  # (B, L, h, T, 2)
     tgt = targets[:, None, None, :, :]  # (B,1,1,T,2)
     row_valid = valid[:, None, None, :]  # (B,1,1,T)
+    early = (jnp.arange(maps.shape[1]) + layer_offset < 2)[
+        None, :, None, None, None
+    ]  # (1,L,1,1,1)
 
-    # inf handling (espnet_model.py:496-499): zero the map where the target
-    # is inf (pad rows) or the map itself is -inf (causal); zero inf targets.
+    # inf handling (espnet_model.py:496-499): zero -inf (causal) map
+    # entries; for layers >= 2 also zero map+target at inf-target pad rows.
     maps = jnp.where(jnp.isfinite(maps), maps, 0.0)
-    maps = maps * row_valid[..., None]
-    tgt = tgt * row_valid[..., None]
+    maps = jnp.where(early, maps, maps * row_valid[..., None])
+    tgt = jnp.where(early, 0.0, tgt * row_valid[..., None])
 
     sq = (maps - tgt) ** 2  # (B, L, h, T, 2)
     row_loss = jnp.sum(sq, axis=-1)  # (B, L, h, T)

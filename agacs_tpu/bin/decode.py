@@ -50,6 +50,20 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_lm_config(lm_exp: str):
+    """Rebuild the LM config from the LM experiment's own config.yaml
+    (written by bin/lm_train) — hardcoded defaults would silently mis-load
+    any non-default LM."""
+    from agacs_tpu.models.lm import TransformerLMConfig
+
+    path = os.path.join(lm_exp, "config.yaml")
+    if not os.path.exists(path):
+        logging.warning("%s missing; assuming default LM architecture", path)
+        return TransformerLMConfig(compute_dtype=jnp.float32)
+    conf = load_yaml(path).get("lm_conf", {})
+    return TransformerLMConfig(compute_dtype=jnp.float32, **conf)
+
+
 def _decode_conformer(args, task, params, ds):
     import time
 
@@ -61,7 +75,7 @@ def _decode_conformer(args, task, params, ds):
     if args.lm_exp:
         from agacs_tpu.models.lm import TransformerLMConfig, init_lm_params
 
-        lm_cfg = TransformerLMConfig(compute_dtype=jnp.float32)
+        lm_cfg = _load_lm_config(args.lm_exp)
         lm_params = load_pytree_like(
             os.path.join(args.lm_exp, "valid.loss.ave.params.npz"),
             init_lm_params(jax.random.PRNGKey(0), lm_cfg),

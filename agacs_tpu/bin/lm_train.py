@@ -80,6 +80,23 @@ def main(argv: list[str] | None = None) -> dict:
         linear_units=args.linear_units, num_blocks=args.num_blocks,
         compute_dtype=getattr(jnp, args.compute_dtype),
     )
+    # resolved config is the single artifact needed to rebuild the LM at
+    # decode time (cf. abs_task.py:1258-1266 / asr_inference.py:113)
+    os.makedirs(args.exp_dir, exist_ok=True)
+    from agacs_tpu.utils.config import dump_resolved
+
+    dump_resolved(
+        os.path.join(args.exp_dir, "config.yaml"),
+        {
+            "lm_conf": {
+                "d_model": cfg.d_model,
+                "attention_heads": cfg.attention_heads,
+                "linear_units": cfg.linear_units,
+                "num_blocks": cfg.num_blocks,
+                "vocab_size": cfg.vocab_size,
+            }
+        },
+    )
     tok = WhisperTokenizer()
     conv = WhisperTokenIdConverter(tok)
     train_b = _batches(args.train_text, conv, tok, args.batch_tokens)

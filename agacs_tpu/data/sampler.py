@@ -65,7 +65,15 @@ def shard_batches(batches: list[list[str]], process_index: int, process_count: i
     """Strided per-host split; drops the tail so every host sees the same
     number of batches (the reference instead allreduces a stop flag each
     step, trainer.py:514-524 — a fixed count is the jit-friendly form)."""
+    import logging
+
     n = (len(batches) // process_count) * process_count
+    if n < len(batches):
+        logging.info(
+            "shard_batches: dropping %d tail batch(es) of %d so all %d "
+            "hosts see equal counts", len(batches) - n, len(batches),
+            process_count,
+        )
     return batches[process_index:n:process_count]
 
 

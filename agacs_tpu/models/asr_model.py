@@ -75,6 +75,18 @@ class ASRModelConfig:
     # first-class path: adapt.head_selection.select_heads output.
     head_mask: tuple | None = None
 
+    def __post_init__(self):
+        if self.interctc_weight != 0.0:
+            # interCTC taps exist on the conformer encoder
+            # (models/conformer_asr.py); the whisper encoder has none.
+            # The reference handles interCTC generically
+            # (espnet_model.py:597-640) — until that lands here, reject
+            # instead of silently ignoring the weight.
+            raise ValueError(
+                "interctc_weight != 0 is not supported on the whisper path; "
+                "use the conformer model family (ConformerASRConfig)"
+            )
+
     def head_mask_array(self) -> np.ndarray:
         if self.head_mask is not None:
             return np.asarray(self.head_mask, np.float32)
@@ -169,7 +181,10 @@ def forward(
         loss = loss_att
 
     if cfg.cs_weight != 0.0:
-        head_mask = jnp.asarray(cfg.head_mask_array())
+        # qk_cols only carries layers >= src_layer-1 (whisper_decoder.py:
+        # 89-170 collects maps from src_layer on); slice the (L, h) mask to
+        # match so custom src_layer configs broadcast correctly.
+        head_mask = jnp.asarray(cfg.head_mask_array())[cfg.src_layer - 1 :]
         c_val = (
             params["estimated_c_val"][0] if cfg.estimate_c else cfg.c_val_attention
         )
@@ -180,6 +195,7 @@ def forward(
             batch["cs_labels"],
             head_mask,
             c_val,
+            layer_offset=cfg.src_layer - 1,
         )
         # reference overwrites the ctc mix here (espnet_model.py:694)
         loss = cfg.cs_weight * loss_cs + loss_att

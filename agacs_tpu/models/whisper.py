@@ -440,7 +440,7 @@ def init_whisper_params(rng: jax.Array, cfg: WhisperConfig) -> Params:
 
 def _init_encoder_side(rng, cfg: WhisperConfig):
     sc = cfg.side_network
-    ks = jax.random.split(rng, 5)
+    ks = jax.random.split(rng, 6)
     n_side = len(sc.layers)
     side_cfg = dataclasses.replace(
         cfg, adapter=False, pe_attention=False,
@@ -459,7 +459,7 @@ def _init_encoder_side(rng, cfg: WhisperConfig):
         "blocks": _stack_blocks(blocks),
         "upsample_output": _init_linear(ks[4], sc.n_dim, cfg.n_audio_state),
         "ln_post": _init_ln(cfg.n_audio_state),
-        "gate_output": jax.random.uniform(ks[3], (1,), jnp.float32, -1.0, 1.0),
+        "gate_output": jax.random.uniform(ks[5], (1,), jnp.float32, -1.0, 1.0),
     }
 
 

@@ -44,13 +44,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Shard the leading (batch) axis over 'data'; batches whose size does
     not divide the data-axis length are replicated instead (correct, just
-    not parallel — happens only for ragged tail batches)."""
+    not parallel — happens only for ragged tail batches, and is logged).
+
+    Multi-process: each host holds only its own slice of the global batch
+    (rank-split sampler, like DDP), so device_put onto non-addressable
+    devices would fail — use make_array_from_process_local_data, which
+    assembles the global array from per-process shards."""
+    import logging
+
     n_data = mesh.shape["data"]
     data_spec = NamedSharding(mesh, P("data"))
     repl_spec = NamedSharding(mesh, P())
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         ok = hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n_data == 0
+        if multiprocess:
+            # local batch must shard evenly in the multi-process regime;
+            # the per-host sampler guarantees equal batch counts/sizes.
+            return jax.make_array_from_process_local_data(
+                data_spec if ok else repl_spec, np.asarray(x)
+            )
+        if not ok and hasattr(x, "shape") and x.ndim >= 1:
+            logging.debug(
+                "shard_batch: leading dim %d %% %d != 0 — replicating "
+                "(serial tail batch)", x.shape[0], n_data,
+            )
         return jax.device_put(x, data_spec if ok else repl_spec)
 
     return jax.tree.map(put, batch)

@@ -15,12 +15,24 @@ def remove_symbols(s: str) -> str:
     )
 
 
+# non-ASCII letters that NFKD does not decompose — mapped by hand, matching
+# whisper `normalizers/basic.py:7-24` so remove_diacritics output is
+# bit-identical for œ/ß/ø-class characters.
+ADDITIONAL_DIACRITICS = {
+    "œ": "oe", "Œ": "OE", "ø": "o", "Ø": "O", "æ": "ae", "Æ": "AE",
+    "ß": "ss", "ẞ": "SS", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "th", "ł": "l", "Ł": "L",
+}
+
+
 def remove_symbols_and_diacritics(s: str, keep: str = "") -> str:
     return "".join(
         c
         if c in keep
         else (
-            ""
+            ADDITIONAL_DIACRITICS[c]
+            if c in ADDITIONAL_DIACRITICS
+            else ""
             if unicodedata.category(c) == "Mn"
             else " " if unicodedata.category(c)[0] in "MSP" else c
         )

@@ -48,18 +48,35 @@ def load_pytree_like(path: str, template: Any) -> Any:
 
 
 def save_opt_state(path: str, opt_state: Any) -> None:
-    leaves = jax.tree_util.tree_leaves(opt_state)
-    np.savez(path, **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)})
+    """Keyed by pytree path (not flat index), so a structural change in the
+    optimizer config fails loudly on resume instead of silently loading
+    wrong leaves."""
+    np.savez(path, **dict(_flatten_with_names(opt_state)))
 
 
 def load_opt_state_like(path: str, template: Any) -> Any:
     data = np.load(path)
-    leaves = jax.tree_util.tree_leaves(template)
-    treedef = jax.tree_util.tree_structure(template)
-    out = [
-        jax.numpy.asarray(data[f"leaf_{i}"], dtype=np.asarray(t).dtype)
-        for i, t in enumerate(leaves)
-    ]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+
+    def name(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    out = []
+    for kp, tmpl in flat:
+        key = name(kp)
+        if key not in data:
+            raise KeyError(
+                f"optimizer-state leaf {key!r} missing from {path} — "
+                "optimizer config changed since the checkpoint was written?"
+            )
+        arr = data[key]
+        t = np.asarray(tmpl)
+        if arr.shape != t.shape:
+            raise ValueError(
+                f"optimizer-state leaf {key!r} shape mismatch: "
+                f"checkpoint {arr.shape} vs current {t.shape}"
+            )
+        out.append(jax.numpy.asarray(arr, dtype=t.dtype))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

@@ -104,7 +104,12 @@ def ctc_loss(
 ) -> jax.Array:
     """Batch-mean CTC loss (reference `espnet2/asr/ctc.py:6` wraps
     torch.nn.CTCLoss(reduction="sum") / B). Uses optax's TPU-friendly
-    ctc_loss (logits (B, T, V))."""
+    ctc_loss (logits (B, T, V)).
+
+    Infeasible utterances (label longer than the frame sequence) are
+    zeroed, matching torch CTCLoss(zero_infinity=True) (`ctc.py:39-41`) —
+    optax would otherwise hand back a huge finite ~|log_epsilon| loss that
+    dominates the batch gradient."""
     import optax
 
     b, t, _ = logits.shape
@@ -115,4 +120,5 @@ def ctc_loss(
     per_seq = optax.ctc_loss(
         logits, logit_pad, labels_safe, label_pad, blank_id=blank_id
     )
+    per_seq = jnp.where(label_lens <= logit_lens, per_seq, 0.0)
     return jnp.mean(per_seq)

@@ -78,8 +78,18 @@ def _torch_oracle_loss(maps, ys_in, tok, head_mask, c=C_VAL):
 
     pattern = torch.stack([_torch_oracle_pattern(r, tok, c) for r in ys_in])  # (B,T,2)
     att = maps.permute(1, 0, 2, 3, 4).clone().float()  # (B,L,H,T,T)
-    full_pat = torch.zeros(att.shape[0], att.shape[1], att.shape[3], att.shape[4])
-    full_pat[:, :, :, 1:3] = pattern.unsqueeze(1).expand(-1, att.shape[1], -1, -1)
+    # per-layer patterns (espnet_model.py:470-488): layers 0-1 get the
+    # early-layer pattern (1 at col 0 on non-pad rows, ZEROS at cols 1:3 —
+    # no infs), layers 2+ the language pattern at cols 1:3.
+    b_, l_, _, t_, _ = att.shape
+    mask = torch.isinf(pattern[:, :, 1])
+    early = torch.zeros(b_, t_, t_)
+    early[:, :, 0][~mask] = 1.0
+    lang = torch.zeros(b_, t_, t_)
+    lang[:, :, 1:3] = pattern
+    full_pat = torch.zeros(b_, l_, t_, t_)
+    full_pat[:, :2] = early.unsqueeze(1).expand(-1, min(2, l_), -1, -1)
+    full_pat[:, 2:] = lang.unsqueeze(1).expand(-1, max(l_ - 2, 0), -1, -1)
     rep = full_pat.unsqueeze(2).expand(-1, -1, att.shape[2], -1, -1).clone()
     att[torch.isinf(rep)] = 0.0
     att[torch.isinf(att)] = 0.0
