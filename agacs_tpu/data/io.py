@@ -5,8 +5,9 @@ SURVEY §7 design stance) so data dirs interop, without any Kaldi binaries
 (`tools/Makefile` clones Kaldi in the reference; here pure Python).
 
 Audio backends: PCM/float WAV via the stdlib (scipy-compatible), .npy
-float arrays. FLAC needs a native decoder (none is present in this
-image) — planned as a C++ component; the recipes here synthesize WAV.
+float arrays, FLAC via the native codec (`native/flac.cpp`), and
+extended-kaldi-ark entries ('path:offset' — the reference's dump format,
+`asr.sh:529`, `espnet2/train/dataset.py:189`) via `data/kaldi_ark.py`.
 """
 
 from __future__ import annotations
@@ -39,11 +40,27 @@ def write_scp(path: str, entries: dict[str, str]) -> None:
             f.write(f"{k} {v}\n")
 
 
+def _is_ark_entry(path: str) -> bool:
+    p, _, off = path.rpartition(":")
+    return bool(p) and off.isdigit()
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Returns (float32 mono waveform in [-1, 1], sample_rate)."""
+    """Returns (float32 mono waveform in [-1, 1], sample_rate).
+
+    Dispatches on the wav.scp value: .npy / .flac / 'ark:offset' / WAV.
+    """
     if path.endswith(".npy"):
         arr = np.load(path)
         return arr.astype(np.float32), 16000
+    if _is_ark_entry(path):
+        from agacs_tpu.data.kaldi_ark import read_ark_audio
+
+        return read_ark_audio(path)
+    if path.endswith(".flac"):
+        from agacs_tpu.data.flac import read_flac
+
+        return read_flac(path)
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -82,5 +99,14 @@ def wav_num_samples(path: str) -> int:
             version = np.lib.format.read_magic(f)
             shape, _, _ = np.lib.format._read_array_header(f, version)
         return int(np.prod(shape))
+    if _is_ark_entry(path):
+        from agacs_tpu.data.kaldi_ark import ark_num_samples
+
+        return ark_num_samples(path)
+    if path.endswith(".flac"):
+        from agacs_tpu.data.flac import flac_info
+
+        with open(path, "rb") as f:
+            return flac_info(f.read(65536))["total_samples"]
     with wave.open(path, "rb") as w:
         return w.getnframes()
