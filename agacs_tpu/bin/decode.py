@@ -38,7 +38,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--beam_size", type=int, default=1)
-    p.add_argument("--max_steps", type=int, default=200)
+    p.add_argument("--max_steps", type=int, default=200,
+                   help="generated-token cap; 0 = derive from maxlenratio "
+                        "(0.0 -> encoder frame count, beam_search.py:365)")
+    p.add_argument("--maxlenratio", type=float, default=0.0)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--length_bonus", type=float, default=0.0)
     p.add_argument("--ctc_weight", type=float, default=0.3,
@@ -129,9 +132,22 @@ def _decode_conformer(args, task, params, ds):
 
 def _decode_whisper(args, task, params, ds):
     cfg = task.cfg
+    lm_params = lm_cfg = None
+    if args.lm_exp and args.lm_weight > 0.0:
+        from agacs_tpu.models.lm import init_lm_params
+
+        lm_cfg = _load_lm_config(args.lm_exp)
+        lm_params = load_pytree_like(
+            os.path.join(args.lm_exp, "valid.loss.ave.params.npz"),
+            init_lm_params(jax.random.PRNGKey(0), lm_cfg),
+        )
     s2t = Speech2Text(
-        params, cfg, beam_size=args.beam_size, max_steps=args.max_steps,
+        params, cfg, beam_size=args.beam_size,
+        max_steps=args.max_steps if args.max_steps > 0 else None,
+        maxlenratio=args.maxlenratio,
         length_bonus=args.length_bonus,
+        ctc_weight=args.ctc_weight if "ctc" in params else 0.0,
+        lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=args.lm_weight,
     )
     hyps, refs = {}, {}
     utts = sorted(ds.utt_ids, key=ds.num_samples)

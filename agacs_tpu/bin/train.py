@@ -143,7 +143,10 @@ def main(argv: list[str] | None = None) -> dict:
         logging.info("resumed at epoch %d", start_epoch)
 
     train_step = make_train_step(cfg, tx, loss_fn=task.loss_fn, trainable_mask=mask)
-    eval_step = make_eval_step(cfg, loss_fn=task.loss_fn)
+    eval_step = make_eval_step(cfg, loss_fn=task.loss_fn, return_preds=True)
+    from agacs_tpu.train.error_calculator import ErrorCalculator
+
+    err_calc = ErrorCalculator(train_ds.tokenizer.id_to_token)
     reporter = Reporter()
     reporter.history = history
 
@@ -166,8 +169,16 @@ def main(argv: list[str] | None = None) -> dict:
                     if is_train:
                         state, stats = step_fn(state, batch)
                     else:
-                        stats = step_fn(state.params, batch)
+                        stats, (ys_hat, ys_out) = step_fn(state.params, batch)
                     stats = {k: float(v) for k, v in stats.items()}
+            if not is_train:
+                # eval-epoch cer/wer from teacher-forced argmax
+                # (espnet_model.py:955-959 ErrorCalculator semantics)
+                cer, wer = err_calc(np.asarray(ys_hat), np.asarray(ys_out))
+                if cer is not None:
+                    stats["cer"] = cer
+                if wer is not None:
+                    stats["wer"] = wer
             sub.register(stats, weight=len(utts))
             if (i + 1) % tcfg.log_interval == 0:
                 logging.info(

@@ -1,22 +1,17 @@
-"""Batched beam search with KV caches, fully jitted.
+"""Whisper-track beam search — full scorer composition over KV-cached
+`whisper_decode_step`.
 
-Replicates the score composition of the reference BeamSearch/BatchBeamSearch
-(`espnet/nets/beam_search.py:30`, `batch_beam_search.py:29`) for the
-scorers the Whisper recipes use:
+Replicates the reference Speech2Text's scorer set
+(`espnet2/bin/asr_inference.py:139-174,258-290`: decoder, ctc, lm,
+length_bonus with weights {1-λ, λ, μ, β}) and the BeamSearch loop
+semantics (`espnet/nets/beam_search.py:346-483`: ended-hypothesis pool,
+eos-append at maxlen, end detection) via the shared dense core in
+`decode/composed_beam.py`. The hyp primer is the dual-language prompt
+`[50258, 50260, 50259, 50359, 50363]` (asr_inference.py:319-331).
 
-  score(hyp) = Σ_t log p_decoder(y_t)  +  length_bonus · |hyp|
-  (decode_asr_whisper.yaml: beam_size 1, ctc_weight 0.0, penalty 0 —
-   CTC prefix scoring is a separate scorer, see decode/ctc_prefix.py)
-
-Differences from the reference, by design:
-  * hypotheses live in dense (B, beam, L) tensors with a finished mask —
-    no ragged python lists; the whole search is one XLA program;
-  * the decoder is evaluated through `whisper_decode_step` with per-beam
-    KV caches gathered on reorder (the reference re-forwards the full
-    prefix per step, batch_beam_search.py:143-163 → whisper_decoder
-    forward_one_step);
-  * ended hypotheses emit only <|endoftext|> with log-prob 0, the standard
-    dense-beam equivalent of moving them to `ended_hyps`.
+maxlen semantics: the caller passes max_steps = encoder frame count when
+maxlenratio == 0 (`beam_search.py:365-371`); the decoder context cap (448,
+whisper_decoder.py:197-198) bounds it here.
 """
 
 from __future__ import annotations
@@ -26,6 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from agacs_tpu.decode.composed_beam import composed_beam_decode
 from agacs_tpu.decode.greedy import WHISPER_CS_PRIMER
 from agacs_tpu.models.whisper import (
     WhisperConfig,
@@ -39,7 +35,10 @@ NEG_INF = -1.0e30
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "beam_size", "primer", "max_steps", "eot", "length_bonus"),
+    static_argnames=(
+        "cfg", "beam_size", "primer", "max_steps", "eot", "length_bonus",
+        "ctc_weight", "lm_cfg", "lm_weight", "pre_beam", "use_end_detect",
+    ),
 )
 def beam_decode(
     params,
@@ -50,91 +49,49 @@ def beam_decode(
     max_steps: int = 200,
     eot: int = 50257,
     length_bonus: float = 0.0,
+    ctc_weight: float = 0.0,
+    ctc_logp: jax.Array | None = None,
+    ctc_frame_lens: jax.Array | None = None,
+    lm_params=None,
+    lm_cfg=None,
+    lm_weight: float = 0.0,
+    pre_beam: int = 0,
+    use_end_detect: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (tokens (B, total), lengths (B,), scores (B,)) for the best
-    hypothesis per utterance."""
-    b, t_enc, d = enc_out.shape
-    n_primer = len(primer)
-    total = n_primer + max_steps
-    max_ctx = min(cfg.n_text_ctx, total)
-    k = beam_size
+    """Returns (tokens (B, n_primer+max_steps+1), lengths (B,), scores (B,))
+    for the best ended hypothesis per utterance.
 
-    # replicate encoder state per beam: (B*k, ...)
+    ctc_logp: (B, T_enc, V) frame log-probs from the CTC head (enables the
+    CTC partial scorer when ctc_weight > 0); lm_*: shallow fusion.
+    """
+    b = enc_out.shape[0]
+    k = beam_size
+    n_primer = len(primer)
+    max_ctx = min(cfg.n_text_ctx, n_primer + max_steps)
+
     enc_rep = jnp.repeat(enc_out, k, axis=0)
     cross_kv = precompute_cross_kv(params, cfg, enc_rep)
     self_kv = init_self_kv_cache(cfg, batch=b * k, max_len=max_ctx)
 
-    tokens0 = jnp.zeros((b, k, total), jnp.int32)
-    tokens0 = tokens0.at[:, :, :n_primer].set(jnp.asarray(primer, jnp.int32))
-    # only beam 0 is live initially (identical prefixes would duplicate)
-    scores0 = jnp.full((b, k), NEG_INF, jnp.float32).at[:, 0].set(0.0)
-    finished0 = jnp.zeros((b, k), bool)
+    def step(cur, pos, kv):
+        return whisper_decode_step(params, cfg, cur, pos, kv, cross_kv)
 
-    def cond(carry):
-        pos, *_ , finished = carry
-        return (pos < min(total - 1, max_ctx - 1)) & ~jnp.all(finished)
+    lm_step = lm_state0 = None
+    if lm_params is not None and lm_weight > 0.0:
+        from agacs_tpu.models.lm import init_lm_kv_cache, lm_score_step_cached
 
-    def body(carry):
-        pos, tokens, scores, self_kv, finished = carry
-        cur = jax.lax.dynamic_index_in_dim(
-            tokens.reshape(b * k, total), pos, axis=1, keepdims=False
-        )
-        logits, self_kv = whisper_decode_step(
-            params, cfg, cur, pos, self_kv, cross_kv
-        )
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, -1)
-        v = logp.shape[-1]
+        lm_state0 = init_lm_kv_cache(lm_cfg, b * k, max_ctx)
 
-        in_primer = pos + 1 < n_primer
+        def lm_step(cur, pos, kv):
+            return lm_score_step_cached(lm_params, lm_cfg, cur, pos, kv)
 
-        # ended beams: only eot continuation, at zero incremental cost
-        eot_only = jnp.full((b, k, v), NEG_INF).at[:, :, eot].set(0.0)
-        logp = jnp.where(finished[:, :, None], eot_only, logp)
-
-        cand = scores[:, :, None] + logp + length_bonus * (
-            ~finished[:, :, None]
-        ).astype(jnp.float32)
-
-        def expand_normal(_):
-            flat = cand.reshape(b, k * v)
-            top_scores, top_idx = jax.lax.top_k(flat, k)
-            return top_scores, top_idx // v, top_idx % v
-
-        def expand_primer(_):
-            # force the next primer token on every live beam
-            forced = jnp.asarray(primer, jnp.int32)[jnp.minimum(pos + 1, n_primer - 1)]
-            nxt = jnp.full((b, k), forced, jnp.int32)
-            parent = jnp.tile(jnp.arange(k)[None, :], (b, 1))
-            return scores, parent, nxt
-
-        new_scores, parent, nxt = jax.lax.cond(
-            in_primer, expand_primer, expand_normal, None
-        )
-
-        # reorder hypotheses + caches by parent beam
-        batch_idx = jnp.arange(b)[:, None]
-        tokens = tokens[batch_idx, parent]
-        finished = finished[batch_idx, parent]
-        flat_parent = (jnp.arange(b)[:, None] * k + parent).reshape(-1)
-        self_kv = jax.tree.map(lambda c: c[:, flat_parent], self_kv)
-
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, nxt[:, :, None], (0, 0, pos + 1)
-        )
-        finished = finished | (~in_primer & (nxt == eot))
-        return pos + 1, tokens, new_scores, self_kv, finished
-
-    _, tokens, scores, _, finished = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens0, scores0, self_kv, finished0)
+    return composed_beam_decode(
+        step, self_kv,
+        batch=b, vocab=cfg.n_vocab, beam_size=k, primer=tuple(primer),
+        max_steps=max_steps, eot=eot, max_pos=max_ctx - 1,
+        length_bonus=length_bonus,
+        ctc_weight=ctc_weight, ctc_logp=ctc_logp,
+        ctc_frame_lens=ctc_frame_lens, pre_beam=pre_beam,
+        lm_step_fn=lm_step, lm_state0=lm_state0, lm_weight=lm_weight,
+        use_end_detect=use_end_detect,
     )
-
-    best = jnp.argmax(scores, axis=1)
-    batch_idx = jnp.arange(b)
-    best_tokens = tokens[batch_idx, best]
-    best_scores = scores[batch_idx, best]
-
-    is_eot = (best_tokens == eot) & (jnp.arange(total)[None, :] >= n_primer)
-    first_eot = jnp.where(
-        jnp.any(is_eot, axis=1), jnp.argmax(is_eot, axis=1), total - 1
-    )
-    return best_tokens, first_eot + 1, best_scores

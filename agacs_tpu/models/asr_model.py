@@ -139,8 +139,11 @@ def forward(
     batch: dict,
     train: bool = True,
     rng: jax.Array | None = None,
+    return_preds: bool = False,
 ) -> tuple[jax.Array, dict]:
-    """Full training forward. Returns (loss, stats dict of scalars)."""
+    """Full training forward. Returns (loss, stats dict of scalars);
+    with return_preds also (argmax ids, ys_out) for the eval-epoch
+    ErrorCalculator (espnet_model.py:955-959)."""
     speech = batch["speech"]
     text = batch["text"]
 
@@ -202,4 +205,6 @@ def forward(
         stats["loss_cs"] = loss_cs
 
     stats["loss"] = loss
+    if return_preds:
+        return loss, stats, (jnp.argmax(logits, axis=-1), ys_out)
     return loss, stats

@@ -111,7 +111,8 @@ def encode(params, cfg: ConformerASRConfig, speech, speech_lengths,
     )
 
 
-def forward(params, cfg: ConformerASRConfig, batch, train=True, rng=None):
+def forward(params, cfg: ConformerASRConfig, batch, train=True, rng=None,
+            return_preds=False):
     use_inter = cfg.interctc_weight > 0.0 and cfg.interctc_layers
     if use_inter:
         feats_rng = rng
@@ -181,4 +182,6 @@ def forward(params, cfg: ConformerASRConfig, batch, train=True, rng=None):
         loss = loss_att
 
     stats["loss"] = loss
+    if return_preds:
+        return loss, stats, (jnp.argmax(logits, axis=-1), ys_out)
     return loss, stats

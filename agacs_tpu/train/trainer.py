@@ -135,11 +135,22 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: ASRModelConfig, loss_fn: Callable | None = None):
+def make_eval_step(
+    cfg: ASRModelConfig,
+    loss_fn: Callable | None = None,
+    return_preds: bool = False,
+):
+    """Eval step; with return_preds it also returns (argmax ids, ys_out)
+    for the host-side ErrorCalculator (espnet_model.py:955-959)."""
     fwd = loss_fn or asr_model.forward
 
     @jax.jit
-    def step(params, batch) -> dict:
+    def step(params, batch):
+        if return_preds:
+            _, stats, preds = fwd(
+                params, cfg, batch, train=False, rng=None, return_preds=True
+            )
+            return stats, preds
         _, stats = fwd(params, cfg, batch, train=False, rng=None)
         return stats
 

@@ -58,12 +58,17 @@ def test_beam1_equals_greedy(setup):
     b_tokens, b_lens, _ = beam_decode(
         params, TINY, enc, beam_size=1, primer=PRIMER, max_steps=8
     )
-    np.testing.assert_array_equal(np.asarray(g_lens), np.asarray(b_lens))
+    eot = 50257
     for i in range(2):
-        n = int(g_lens[i])
-        np.testing.assert_array_equal(
-            np.asarray(g_tokens)[i, :n], np.asarray(b_tokens)[i, :n]
-        )
+        gn, bn = int(g_lens[i]), int(b_lens[i])
+        g = np.asarray(g_tokens)[i, :gn]
+        bt = np.asarray(b_tokens)[i, :bn]
+        if g[-1] == eot:  # natural ending: identical hypotheses
+            np.testing.assert_array_equal(g, bt)
+        else:  # step cap: the beam appends <eot> at zero cost
+            # ("adding <eos> in the last position", beam_search.py:463-468)
+            assert bn == gn + 1 and bt[-1] == eot
+            np.testing.assert_array_equal(g, bt[:-1])
 
 
 def test_beam_score_at_least_greedy(setup):

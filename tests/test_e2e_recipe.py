@@ -97,6 +97,11 @@ def test_full_recipe(recipe_dir):
     assert 1 in out["history"] and 2 in out["history"]
     assert np.isfinite(out["history"][2]["train"]["loss"])
     assert "loss_cs" in out["history"][2]["train"]
+    # eval-epoch cer/wer (ErrorCalculator, espnet_model.py:955-959) — a
+    # best-model criterion like ("valid", "cer", "min") can select on them
+    assert "cer" in out["history"][2]["valid"]
+    assert "wer" in out["history"][2]["valid"]
+    assert out["history"][2]["valid"]["cer"] >= 0.0
 
     # decode the valid set greedily
     dec_dir = str(recipe_dir / "decode_valid")

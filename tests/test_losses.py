@@ -95,3 +95,22 @@ def test_th_accuracy():
     targets = np.array([[2, 1, 1, -1]])
     acc = float(th_accuracy(jnp.asarray(logits), jnp.asarray(targets)))
     assert abs(acc - 2 / 3) < 1e-6
+
+
+def test_error_calculator_literal_semantics():
+    """ErrorCalculator vs e2e_asr_common.py:100-254 semantics: hyp
+    truncated at ref length, space marker -> ' ', CER over spaceless
+    chars, WER over words."""
+    import numpy as np
+
+    from agacs_tpu.train.error_calculator import ErrorCalculator, edit_distance
+
+    vocab = {0: "a", 1: "b", 2: "Ġ", 3: "c", 9: "z"}
+    ec = ErrorCalculator(lambda i: vocab[i])
+    ys_pad = np.array([[0, 1, 2, 3, -1, -1]])  # "ab c"
+    ys_hat = np.array([[0, 3, 2, 3, 9, 9]])  # truncated at 4 -> "ac c"
+    cer, wer = ec(ys_hat, ys_pad)
+    assert abs(cer - 1 / 3) < 1e-9  # "acc" vs "abc"
+    assert abs(wer - 1 / 2) < 1e-9  # ["ac","c"] vs ["ab","c"]
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance([], ["x"]) == 1
