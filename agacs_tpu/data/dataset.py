@@ -34,30 +34,61 @@ class ASRDataset:
     ):
         self.wav = read_scp(os.path.join(data_dir, "wav.scp"))
         self.text = read_scp(os.path.join(data_dir, "text"))
+        # kaldi segments: utterances are (recording, start_s, end_s) slices
+        # and wav.scp keys recordings (dataset.py/fileio segments handling)
+        self.segments: dict[str, tuple[str, float, float]] = {}
+        seg_path = os.path.join(data_dir, "segments")
+        if os.path.exists(seg_path):
+            for utt, v in read_scp(seg_path).items():
+                rec, start, end = v.split()
+                self.segments[utt] = (rec, float(start), float(end))
         self.tokenizer = tokenizer or WhisperTokenizer()
         self.converter = WhisperTokenIdConverter(self.tokenizer)
         self.cleaner = TextCleaner(cleaner) if cleaner else None
         self.with_cs_labels = with_cs_labels
+        self._rec_cache: tuple[str, np.ndarray, int] | None = None
 
-        self.utt_ids = [u for u in self.wav if u in self.text]
+        if self.segments:
+            self.utt_ids = [
+                u for u in self.segments
+                if u in self.text and self.segments[u][0] in self.wav
+            ]
+        else:
+            self.utt_ids = [u for u in self.wav if u in self.text]
+        self._shape_cache: dict[str, int] = {}
         if min_samples or max_samples:
             kept = []
             for u in self.utt_ids:
-                n = wav_num_samples(self.wav[u])
+                n = self.num_samples(u)
                 if (not min_samples or n >= min_samples) and (
                     not max_samples or n <= max_samples
                 ):
                     kept.append(u)
             self.utt_ids = kept
-        self._shape_cache: dict[str, int] = {}
 
     def __len__(self) -> int:
         return len(self.utt_ids)
 
     def num_samples(self, utt_id: str) -> int:
         if utt_id not in self._shape_cache:
-            self._shape_cache[utt_id] = wav_num_samples(self.wav[utt_id])
+            if utt_id in self.segments:
+                _, start, end = self.segments[utt_id]
+                self._shape_cache[utt_id] = int(round((end - start) * 16000))
+            else:
+                self._shape_cache[utt_id] = wav_num_samples(self.wav[utt_id])
         return self._shape_cache[utt_id]
+
+    def _read_speech(self, utt_id: str) -> tuple[np.ndarray, int]:
+        if utt_id not in self.segments:
+            return read_wav(self.wav[utt_id])
+        rec, start, end = self.segments[utt_id]
+        # one-recording cache: split dirs are sorted by recording, so
+        # consecutive utterances slice the same long FLAC
+        if self._rec_cache is None or self._rec_cache[0] != rec:
+            audio, sr = read_wav(self.wav[rec])
+            self._rec_cache = (rec, audio, sr)
+        _, audio, sr = self._rec_cache
+        return audio[int(round(start * sr)) : int(round(end * sr))], sr
 
     def tokenize(self, text: str) -> list[int]:
         if self.cleaner is not None:
@@ -65,7 +96,7 @@ class ASRDataset:
         return self.converter.tokens2ids(self.tokenizer.text2tokens(text))
 
     def __getitem__(self, utt_id: str) -> dict:
-        speech, sr = read_wav(self.wav[utt_id])
+        speech, sr = self._read_speech(utt_id)
         assert sr == 16000, f"{utt_id}: expected 16 kHz, got {sr}"
         ids = np.asarray(self.tokenize(self.text[utt_id]), np.int32)
         item = {"utt_id": utt_id, "speech": speech, "text": ids}

@@ -3,7 +3,9 @@
 # egs2/seame/asr1/run_whisper1ststage.sh + run_whisper2ndstage.sh + asr.sh
 # stages 10-13, over this framework's CLIs.
 #
-# Expects kaldi-style data dirs (wav.scp + text, 16 kHz WAV):
+# Starts from either a raw SEAME checkout ($SEAME + $SEAME_DEV_REPO, stage 0
+# — the asr.sh stages 1/3 equivalent: prepare + format to flac.ark) or
+# pre-made kaldi-style data dirs (wav.scp + text, 16 kHz):
 #   $data/train $data/valid $data/devman $data/devsge
 # Optionally $init_pt = an OpenAI whisper-small .pt checkpoint.
 set -euo pipefail
@@ -11,12 +13,25 @@ set -euo pipefail
 data=${data:-data}
 exp=${exp:-exp/seame_whisper}
 init_pt=${init_pt:-}      # path to whisper small .pt (optional)
+SEAME=${SEAME:-}          # raw corpus root (enables stage 0)
+SEAME_DEV_REPO=${SEAME_DEV_REPO:-}  # SEAME-dev-set checkout
 stage=${stage:-1}
 stop_stage=${stop_stage:-5}
 decode_sets=${decode_sets:-"devman devsge"}
 python=${python:-python}
 
 conf_dir="$(dirname "$0")/conf"
+
+if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ] && [ -n "${SEAME}" ]; then
+  echo "=== stage 0: corpus prep (local/preprocess.py) + format to flac.ark ==="
+  ${python} -m agacs_tpu.bin.prepare_seame \
+    --data "${SEAME}" --repo "${SEAME_DEV_REPO}" --out "${data}"
+  for set in train valid devman devsge; do
+    ${python} -m agacs_tpu.bin.format_data \
+      --data_dir "${data}/${set}" --outdir "${data}/${set}_fmt" \
+      --audio_format flac.ark
+  done
+fi
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
   echo "=== stage 1: speed perturb (0.9/1.0/1.1) ==="
