@@ -62,6 +62,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_bins", type=int, default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--tensor_parallel", type=int, default=1)
+    p.add_argument("--num_att_plot", type=int, default=3,
+                   help="attention-map PNGs per eval epoch "
+                        "(trainer.py:802+ --num_att_plot; 0 disables)")
     return p
 
 
@@ -142,6 +145,15 @@ def main(argv: list[str] | None = None) -> dict:
         state, start_epoch, history = mgr.resume(state)
         logging.info("resumed at epoch %d", start_epoch)
 
+    from agacs_tpu.train.observability import (
+        TensorboardWriter,
+        plot_attention_epoch,
+        plot_history,
+    )
+
+    tb = TensorboardWriter(os.path.join(args.exp_dir, "tensorboard"))
+    att_utts = valid_ds.utt_ids[: max(args.num_att_plot, 0)]
+
     train_step = make_train_step(cfg, tx, loss_fn=task.loss_fn, trainable_mask=mask)
     eval_step = make_eval_step(cfg, loss_fn=task.loss_fn, return_preds=True)
     from agacs_tpu.train.error_calculator import ErrorCalculator
@@ -208,6 +220,20 @@ def main(argv: list[str] | None = None) -> dict:
 
         history[epoch] = reporter.history[epoch]
         mgr.save_epoch(epoch, state, history)
+
+        # observability sinks (trainer.py:254-265, 802+; reporter plots)
+        tb.add_scalars(epoch, {
+            f"{ph}/{k}": v
+            for ph, d in history[epoch].items() for k, v in d.items()
+        })
+        plot_history(history, os.path.join(args.exp_dir, "images"))
+        if att_utts and task.kind == "whisper":
+            try:
+                plot_attention_epoch(
+                    state.params, cfg, valid_ds, att_utts, args.exp_dir, epoch
+                )
+            except Exception as e:  # plotting must never kill training
+                logging.warning("attention plots failed: %s", e)
         logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
 
         # early stopping (trainer.py:459-463)

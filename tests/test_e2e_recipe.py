@@ -102,6 +102,12 @@ def test_full_recipe(recipe_dir):
     assert "cer" in out["history"][2]["valid"]
     assert "wer" in out["history"][2]["valid"]
     assert out["history"][2]["valid"]["cer"] >= 0.0
+    # observability sinks under exp/ (trainer.py:254-265,802+ equivalents)
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(exp, "tensorboard", "events.out.tfevents.*"))
+    assert os.path.exists(os.path.join(exp, "images", "loss.png"))
+    assert _glob.glob(os.path.join(exp, "att_ws", "*", "ep*.png"))
 
     # decode the valid set greedily
     dec_dir = str(recipe_dir / "decode_valid")
