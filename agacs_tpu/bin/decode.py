@@ -49,6 +49,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lm_exp", default=None,
                    help="LM experiment dir for shallow fusion (conformer)")
     p.add_argument("--lm_weight", type=float, default=0.3)
+    p.add_argument("--ngram_file", default=None,
+                   help="ngram npz from bin/ngram_train (whisper family)")
+    p.add_argument("--ngram_weight", type=float, default=0.3)
     p.add_argument("--compute_dtype", default="bfloat16")
     return p
 
@@ -141,6 +144,11 @@ def _decode_whisper(args, task, params, ds):
             os.path.join(args.lm_exp, "valid.loss.ave.params.npz"),
             init_lm_params(jax.random.PRNGKey(0), lm_cfg),
         )
+    ngram_lm = None
+    if args.ngram_file:
+        from agacs_tpu.models.ngram import load_ngram
+
+        ngram_lm = load_ngram(args.ngram_file)
     s2t = Speech2Text(
         params, cfg, beam_size=args.beam_size,
         max_steps=args.max_steps if args.max_steps > 0 else None,
@@ -148,6 +156,8 @@ def _decode_whisper(args, task, params, ds):
         length_bonus=args.length_bonus,
         ctc_weight=args.ctc_weight if "ctc" in params else 0.0,
         lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=args.lm_weight,
+        ngram_lm=ngram_lm,
+        ngram_weight=args.ngram_weight if ngram_lm is not None else 0.0,
     )
     hyps, refs = {}, {}
     utts = sorted(ds.utt_ids, key=ds.num_samples)

@@ -37,7 +37,8 @@ NEG_INF = -1.0e30
     jax.jit,
     static_argnames=(
         "cfg", "beam_size", "primer", "max_steps", "eot", "length_bonus",
-        "ctc_weight", "lm_cfg", "lm_weight", "pre_beam", "use_end_detect",
+        "ctc_weight", "lm_cfg", "lm_weight", "ngram_weight", "pre_beam",
+        "use_end_detect",
     ),
 )
 def beam_decode(
@@ -55,6 +56,8 @@ def beam_decode(
     lm_params=None,
     lm_cfg=None,
     lm_weight: float = 0.0,
+    ngram_lm=None,
+    ngram_weight: float = 0.0,
     pre_beam: int = 0,
     use_end_detect: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -85,6 +88,13 @@ def beam_decode(
         def lm_step(cur, pos, kv):
             return lm_score_step_cached(lm_params, lm_cfg, cur, pos, kv)
 
+    ngram_step = None
+    if ngram_lm is not None and ngram_weight > 0.0:
+        from agacs_tpu.models.ngram import ngram_score_step
+
+        def ngram_step(tokens, pos):
+            return ngram_score_step(ngram_lm, tokens, pos)
+
     return composed_beam_decode(
         step, self_kv,
         batch=b, vocab=cfg.n_vocab, beam_size=k, primer=tuple(primer),
@@ -93,5 +103,6 @@ def beam_decode(
         ctc_weight=ctc_weight, ctc_logp=ctc_logp,
         ctc_frame_lens=ctc_frame_lens, pre_beam=pre_beam,
         lm_step_fn=lm_step, lm_state0=lm_state0, lm_weight=lm_weight,
+        ngram_step_fn=ngram_step, ngram_weight=ngram_weight,
         use_end_detect=use_end_detect,
     )

@@ -62,6 +62,8 @@ def composed_beam_decode(
     lm_step_fn=None,
     lm_state0=None,
     lm_weight: float = 0.0,
+    ngram_step_fn=None,
+    ngram_weight: float = 0.0,
     use_end_detect: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (tokens (B, n_primer+max_steps+1), lengths (B,), scores (B,)).
@@ -86,6 +88,7 @@ def composed_beam_decode(
     limit = min(n_primer + max_steps - 1, max_pos)
     use_ctc = ctc_logp is not None and ctc_weight > 0.0
     use_lm = lm_step_fn is not None and lm_weight > 0.0
+    use_ngram = ngram_step_fn is not None and ngram_weight > 0.0
     w_att = (1.0 - ctc_weight) if use_ctc else 1.0
     # espnet pre_beam_ratio=1.5 default (beam_search.py:497)
     c = pre_beam if pre_beam > 0 else int(1.5 * k) + 1
@@ -137,6 +140,11 @@ def composed_beam_decode(
         if use_lm:
             lm_lp, lm_state = lm_step_fn(cur, pos, lm_state)
             full = full + lm_weight * lm_lp
+        if use_ngram:
+            # stateless scorer over the token buffer (models/ngram.py)
+            full = full + ngram_weight * ngram_step_fn(
+                tokens.reshape(b * k, total), pos
+            )
 
         in_primer = pos + 1 < n_primer
 

@@ -57,6 +57,8 @@ class Speech2Text:
         lm_params: Any = None,
         lm_cfg: Any = None,
         lm_weight: float = 0.0,
+        ngram_lm: Any = None,
+        ngram_weight: float = 0.0,
         pre_beam: int = 0,
         use_end_detect: bool = True,
         primer: tuple[int, ...] = WHISPER_CS_PRIMER,
@@ -72,6 +74,8 @@ class Speech2Text:
         self.lm_params = lm_params
         self.lm_cfg = lm_cfg
         self.lm_weight = lm_weight
+        self.ngram_lm = ngram_lm
+        self.ngram_weight = ngram_weight
         self.pre_beam = pre_beam
         self.use_end_detect = use_end_detect
         self.primer = tuple(primer)
@@ -129,6 +133,7 @@ class Speech2Text:
             self.beam_size <= 1
             and self.ctc_weight == 0.0
             and self.lm_weight == 0.0
+            and self.ngram_weight == 0.0
         )
         if simple:
             tokens, lens = greedy_decode(
@@ -149,7 +154,9 @@ class Speech2Text:
                 ctc_weight=self.ctc_weight, ctc_logp=ctc_logp,
                 ctc_frame_lens=enc_lens if ctc_logp is not None else None,
                 lm_params=self.lm_params, lm_cfg=self.lm_cfg,
-                lm_weight=self.lm_weight, pre_beam=self.pre_beam,
+                lm_weight=self.lm_weight,
+                ngram_lm=self.ngram_lm, ngram_weight=self.ngram_weight,
+                pre_beam=self.pre_beam,
                 use_end_detect=self.use_end_detect,
             )
         tokens = np.asarray(tokens)

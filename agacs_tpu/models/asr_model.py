@@ -208,3 +208,39 @@ def forward(
     if return_preds:
         return loss, stats, (jnp.argmax(logits, axis=-1), ys_out)
     return loss, stats
+
+
+def nll(
+    params: Any,
+    cfg: ASRModelConfig,
+    encoder_out: jax.Array,
+    ys_pad: jax.Array,
+) -> jax.Array:
+    """Per-utterance negative log-likelihood of the attention decoder
+    (espnet_model.py:809-845): teacher-forced forward, unsmoothed CE per
+    token, ignore positions zeroed, summed per utterance. Returns (B,)."""
+    ys_in, ys_out = add_sos_eos(ys_pad, cfg.sos, cfg.eos, cfg.ignore_id)
+    logits, _ = whisper_decode(params, cfg.whisper, ys_in, encoder_out)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ignore = ys_out == cfg.ignore_id
+    tgt = jnp.where(ignore, 0, ys_out)
+    tok_nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(ignore, 0.0, tok_nll), axis=-1)
+
+
+def batchify_nll(
+    params: Any,
+    cfg: ASRModelConfig,
+    encoder_out: jax.Array,
+    ys_pad: jax.Array,
+    batch_size: int = 100,
+) -> jax.Array:
+    """nll over micro-batches to bound memory (espnet_model.py:847-892)."""
+    total = encoder_out.shape[0]
+    if total <= batch_size:
+        return nll(params, cfg, encoder_out, ys_pad)
+    out = []
+    for start in range(0, total, batch_size):
+        end = min(start + batch_size, total)
+        out.append(nll(params, cfg, encoder_out[start:end], ys_pad[start:end]))
+    return jnp.concatenate(out)

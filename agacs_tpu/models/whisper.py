@@ -81,7 +81,10 @@ class WhisperConfig:
     # recomputing beats that HBM traffic on v5e. "full" recomputes
     # everything; "dots" saves matmul outputs (less recompute, more memory);
     # "none"/False disables.
-    remat: str | bool = "full"
+    # "dots_nb" saves weight-matmul outputs and recomputes only the
+    # attention internals: measured +16%/+12%/+6% over "full" at
+    # B8x15s/B16x15s/B32x5s on v5e (docs/PERF.md round-2 table)
+    remat: str | bool = "dots_nb"
 
     def part(self, which: str) -> "WhisperConfig":
         """Effective config for 'encoder' or 'decoder' blocks: resolves the
@@ -180,6 +183,14 @@ def _maybe_remat(fn, remat):
         return fn  # "mlp" checkpoints inside the block instead
     if remat == "dots":
         return jax.checkpoint(fn, policy=jax.checkpoint_policies.dots_saveable)
+    if remat == "dots_nb":
+        # save weight-matmul outputs (contractions with no batch dims),
+        # recompute the O(T²) attention internals — less backward
+        # recompute than "full" at far less memory than "dots"
+        return jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
     return jax.checkpoint(fn)
 
 
@@ -241,8 +252,8 @@ def mha(
     kh = _split_heads(k, n_head) * scale
     vh = _split_heads(v, n_head)
 
-    if not pe and not full_scores and not need_probs:
-        from agacs_tpu.ops.attention import fused_mha
+    if not pe and not full_scores:
+        from agacs_tpu.ops.attention import fused_mha, streaming_lse
 
         out = fused_mha(qh, kh, vh, causal=causal, sm_scale=1.0, backend=backend)
         out = linear(_merge_heads(out), p["out"])
@@ -258,6 +269,11 @@ def mha(
                 masked = col_ids > jnp.arange(t_q)[:, None]  # key col > query row
                 qk_cols = jnp.where(masked[None, None], -jnp.inf, qk_cols)
             aux["qk_cols"] = qk_cols
+            if need_probs:
+                # post-softmax columns from the analytic scores + a
+                # streaming logsumexp — no (T, T) map materializes
+                lse = streaming_lse(qh, kh, causal=causal)
+                aux["p_cols"] = jnp.exp(qk_cols - lse[..., None])
         return out, aux
 
     qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)

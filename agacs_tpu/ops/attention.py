@@ -90,6 +90,58 @@ def flash_mha(
     return out[:, :, :tq, :]
 
 
+def streaming_lse(
+    q: jax.Array,
+    k: jax.Array,
+    causal: bool = False,
+    block: int = 512,
+) -> jax.Array:
+    """Per-row logsumexp of q·kᵀ in fp32 WITHOUT materializing the (Tq, Tk)
+    score tensor in HBM: `lax.scan` over key blocks with a running
+    max/denominator (the flash-attention recurrence, statistics only).
+
+    With the analytic language-column scores this yields post-softmax
+    probability columns — p[:, c] = exp(qk[:, c] − lse) — in O(T·block)
+    memory, deleting head counting's full-map einsum fallback
+    (adapt/head_selection.py, whisper mha need_probs).
+
+    q, k: (B, h, T, d) PRE-scaled (same convention as the other paths).
+    Returns (B, h, Tq) fp32.
+    """
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    block = min(block, tk)
+    n_blk = -(-tk // block)
+    pad = n_blk * block - tk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kb = k.reshape(b, h, n_blk, block, d).transpose(2, 0, 1, 3, 4)
+    col0 = jnp.arange(n_blk) * block
+    rows = jnp.arange(tq)
+
+    def body(carry, inp):
+        m, l = carry  # (B, h, Tq) running max / denominator
+        kblk, c0 = inp
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kblk).astype(jnp.float32)
+        cols = c0 + jnp.arange(block)
+        invalid = cols[None, :] >= tk
+        if causal:
+            invalid = invalid | (cols[None, :] > rows[:, None])
+        s = jnp.where(invalid[None, None], -jnp.inf, s)
+        bm = jnp.max(s, axis=-1)
+        new_m = jnp.maximum(m, bm)
+        safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+        l = l * jnp.exp(m - safe_m) * jnp.isfinite(m) + jnp.sum(
+            jnp.exp(s - safe_m[..., None]), axis=-1
+        )
+        return (new_m, l), None
+
+    m0 = jnp.full((b, h, tq), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, tq), jnp.float32)
+    (m, l), _ = jax.lax.scan(body, (m0, l0), (kb, col0))
+    return m + jnp.log(jnp.maximum(l, 1e-38))
+
+
 def einsum_mha(
     q: jax.Array,
     k: jax.Array,

@@ -47,3 +47,58 @@ def test_pick_block():
     assert _pick_block(1500) == (512, 1536)
     b, pad = _pick_block(130)
     assert pad >= 130 and pad % b == 0
+
+
+def test_streaming_lse_matches_full_softmax():
+    """streaming_lse + analytic columns == full-map softmax columns
+    (the need_probs path with no (T,T) materialization)."""
+    import jax.numpy as jnp
+
+    from agacs_tpu.ops.attention import streaming_lse
+
+    rng = np.random.RandomState(0)
+    b, h, t, d = 2, 3, 70, 16
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32)) * 0.5
+    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32)) * 0.5
+
+    for causal in (False, True):
+        qk = np.asarray(jnp.einsum("bhqd,bhkd->bhqk", q, k))
+        if causal:
+            qk = qk + np.triu(np.full((t, t), -np.inf), k=1)
+        full = np.asarray(jax.nn.softmax(jnp.asarray(qk), -1))
+        lse = np.asarray(streaming_lse(q, k, causal=causal, block=32))
+        want_lse = np.log(np.exp(qk - qk.max(-1, keepdims=True)).sum(-1)) + qk.max(-1)
+        np.testing.assert_allclose(lse, want_lse, rtol=1e-5, atol=1e-5)
+        cols = np.where(np.isfinite(qk[..., 1:3]), qk[..., 1:3], -np.inf)
+        p_cols = np.exp(cols - lse[..., None])
+        np.testing.assert_allclose(p_cols, full[..., 1:3], rtol=1e-5, atol=1e-6)
+
+
+def test_mha_need_probs_no_full_map_parity():
+    """mha(need_probs=True) p_cols on the fused path == einsum-path values."""
+    import jax.numpy as jnp
+
+    from agacs_tpu.models.whisper import WhisperConfig, init_whisper_params, mha
+
+    cfg = WhisperConfig(
+        n_mels=80, n_audio_ctx=16, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=1, n_vocab=100, n_text_ctx=16, n_text_state=64,
+        n_text_head=4, n_text_layer=1,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    p = jax.tree.map(
+        lambda x: x[0] if x.ndim and x.shape[0] == 1 else x,
+        params["decoder"]["blocks"],
+    )["attn"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 64))
+
+    out, aux = mha(p, x, causal=True, n_head=4, lang_cols=(1, 3),
+                   need_probs=True)
+    # oracle: full-scores einsum path
+    out2, aux2 = mha(p, x, causal=True, n_head=4, lang_cols=(1, 3),
+                     need_probs=True, full_scores=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(aux["p_cols"]),
+                               np.asarray(aux2["p_cols"]),
+                               rtol=1e-4, atol=1e-5)

@@ -114,3 +114,47 @@ def test_error_calculator_literal_semantics():
     assert abs(wer - 1 / 2) < 1e-9  # ["ac","c"] vs ["ab","c"]
     assert edit_distance("kitten", "sitting") == 3
     assert edit_distance([], ["x"]) == 1
+
+
+def test_asr_nll_matches_manual_ce():
+    """asr_model.nll == per-token unsmoothed CE summed per utterance
+    (espnet_model.py:809-845); batchify_nll splits identically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agacs_tpu.models.asr_model import (
+        ASRModelConfig, batchify_nll, init_asr_params, nll,
+    )
+    from agacs_tpu.models.whisper import WhisperConfig, whisper_decode
+
+    cfg = ASRModelConfig(
+        whisper=WhisperConfig(
+            n_mels=80, n_audio_ctx=10, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=1, n_vocab=50, n_text_ctx=16, n_text_state=64,
+            n_text_head=4, n_text_layer=1,
+        ),
+        sos=1, eos=2, use_specaug=False,
+    )
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (3, 10, 64))
+    ys = jnp.asarray(np.array([[5, 6, 7, -1], [8, 9, -1, -1], [3, 4, 10, 11]]))
+
+    got = np.asarray(nll(params, cfg, enc, ys))
+
+    # manual oracle
+    from agacs_tpu.train.losses import add_sos_eos
+
+    ys_in, ys_out = add_sos_eos(ys, 1, 2, -1)
+    logits, _ = whisper_decode(params, cfg.whisper, ys_in, enc)
+    logp = np.asarray(jax.nn.log_softmax(logits, -1))
+    want = np.zeros(3)
+    ys_out = np.asarray(ys_out)
+    for i in range(3):
+        for t in range(ys_out.shape[1]):
+            if ys_out[i, t] != -1:
+                want[i] -= logp[i, t, ys_out[i, t]]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    chunked = np.asarray(batchify_nll(params, cfg, enc, ys, batch_size=2))
+    np.testing.assert_allclose(chunked, got, rtol=1e-5)
