@@ -322,9 +322,12 @@ def residual_block(
     lang_cols: tuple[int, int] | None = None,
     full_scores: bool = False,
     need_probs: bool = False,
+    cross_scores: bool = False,
 ) -> tuple[jax.Array, dict]:
     """ResidualAttentionBlock (model.py:195-248): self-attn [+adapter+ln]
-    [+cross-attn] + mlp [+adapter+ln]. Returns (x, self-attn aux)."""
+    [+cross-attn] + mlp [+adapter+ln]. Returns (x, self-attn aux; with
+    cross_scores also aux['cross_qk'] — the pre-softmax cross-attention
+    scores word-level timing consumes, timing.py:205)."""
     attn_out, aux = mha(
         p["attn"], layer_norm(x, p["attn_ln"]), None,
         causal=causal, n_head=n_head, lang_cols=lang_cols,
@@ -336,12 +339,15 @@ def residual_block(
         x = adapter_fwd(p["adapter_attn"], x)
         x = layer_norm(x, p["adapter_attn_ln"])
     if xa is not None:
-        cross_out, _ = mha(
+        cross_out, cross_aux = mha(
             p["cross_attn"], layer_norm(x, p["cross_attn_ln"]), xa,
             causal=False, n_head=n_head, pe=False,
+            full_scores=cross_scores,
             backend=cfg.attention_backend,
         )
         x = x + cross_out
+        if cross_scores:
+            aux["cross_qk"] = cross_aux["qk_full"]
     mlp = mlp_fwd
     if cfg.remat == "mlp":
         # selective remat: recompute only the 4x-wide MLP in backward;
@@ -595,6 +601,7 @@ def whisper_decode(
     lang_cols: tuple[int, int] = (1, 3),
     collect_full_maps: bool = False,
     need_probs: bool = False,
+    collect_cross_maps: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Teacher-forced decoder forward (whisper_decoder.py:89-170).
 
@@ -625,14 +632,15 @@ def whisper_decode(
         h, aux = residual_block(
             layer_params, h, xa, causal=True, n_head=cfg.n_text_head,
             cfg=dec_cfg, lang_cols=cols, full_scores=collect_full_maps,
-            need_probs=need_probs,
+            need_probs=need_probs, cross_scores=collect_cross_maps,
         )
         out = 0
-        if cols or collect_full_maps:
+        if cols or collect_full_maps or collect_cross_maps:
             out = (
                 aux.get("qk_cols", 0),
                 aux.get("p_cols", 0),
                 aux.get("qk_full", 0),
+                aux.get("cross_qk", 0),
             )
         return h, out
 
@@ -653,8 +661,8 @@ def whisper_decode(
     logits = jnp.dot(x, dec["token_emb"].T.astype(x.dtype)).astype(jnp.float32)
 
     aux: dict = {}
-    if cols or collect_full_maps:
-        qk_cols, p_cols, qk_full = layer_aux
+    if cols or collect_full_maps or collect_cross_maps:
+        qk_cols, p_cols, qk_full, cross_qk = layer_aux
         if cols:
             aux["qk_cols"] = qk_cols[src_layer:]
             if need_probs or dec_cfg.pe_attention:
@@ -663,6 +671,9 @@ def whisper_decode(
             # (L, B, h, T, T) in reference stacking order
             # (whisper_decoder.py:168 torch.stack(attention_scores))
             aux["maps"] = qk_full[src_layer:]
+        if collect_cross_maps:
+            # (L, B, h, T_text, T_audio) pre-softmax cross-attn scores
+            aux["cross_maps"] = cross_qk
     return logits, aux
 
 

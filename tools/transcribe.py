@@ -20,6 +20,13 @@ def main():
     ap.add_argument("--beam_size", type=int, default=1)
     ap.add_argument("--max_steps", type=int, default=200)
     ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--long_form", action="store_true",
+                    help="stock-whisper 30 s windowed transcription with "
+                         "timestamps + language detection "
+                         "(decode/transcribe.py) instead of the ESPnet "
+                         "prompt path")
+    ap.add_argument("--language", default=None,
+                    help="long-form: language code (default: detect)")
     args = ap.parse_args()
 
     from agacs_tpu.data.io import read_wav
@@ -41,6 +48,15 @@ def main():
     )
     audio, sr = read_wav(args.wav)
     assert sr == 16000
+    if args.long_form:
+        from agacs_tpu.decode.transcribe import transcribe
+
+        out = transcribe(params, task.cfg.whisper, audio,
+                         language=args.language)
+        for seg in out["segments"]:
+            print(f"[{seg.start:7.2f} -> {seg.end:7.2f}] {seg.text}")
+        print(f"# language: {out['language']}")
+        return
     result = s2t(audio)[0]
     print(result.text)
     print(f"# 1/RTF: {s2t.inverse_rtf:.1f}x realtime (incl compile)")
