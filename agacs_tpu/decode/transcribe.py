@@ -55,6 +55,7 @@ class Segment:
     end: float
     text: str
     tokens: list[int]
+    words: list = dataclasses.field(default_factory=list)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -90,7 +91,10 @@ def no_speech_probs(params, cfg: WhisperConfig, enc: jax.Array) -> np.ndarray:
     return np.asarray(jax.nn.softmax(logits, -1)[:, sp.no_speech])
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_steps", "max_initial_ts"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "max_initial_ts", "temperature"),
+)
 def greedy_decode_timestamps(
     params,
     cfg: WhisperConfig,
@@ -98,11 +102,13 @@ def greedy_decode_timestamps(
     primer: jax.Array,
     max_steps: int = 224,
     max_initial_ts: int = 50,
+    temperature: float = 0.0,
+    rng: jax.Array | None = None,
 ):
-    """Greedy decode with the timestamp logit rules. primer: (B, 3) int32
-    [sot, lang, task]. Returns (tokens (B, 3+max_steps), lengths,
-    sum_logprob (B,)) — logprob over sampled tokens for avg-logprob
-    quality checks."""
+    """Greedy (temperature 0) or sampled decode with the timestamp logit
+    rules. primer: (B, 3) int32 [sot, lang, task]. Returns
+    (tokens (B, 3+max_steps), lengths, sum_logprob (B,)) — logprob over
+    sampled tokens for avg-logprob quality checks."""
     sp = SpecialTokens()
     b = enc.shape[0]
     n_primer = primer.shape[1]
@@ -171,7 +177,12 @@ def greedy_decode_timestamps(
         lg = jnp.where(force_ts[:, None] & ~is_ts_col[None, :], -jnp.inf, lg)
 
         lp = jax.nn.log_softmax(lg, -1)
-        nxt = jnp.argmax(lp, -1).astype(jnp.int32)
+        if temperature > 0.0:
+            key = jax.random.fold_in(c["rng"], pos)
+            nxt = jax.random.categorical(key, lg / temperature, -1)
+            nxt = nxt.astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(lp, -1).astype(jnp.int32)
         nxt = jnp.where(c["done"], sp.eot, nxt)
         # primer positions are forced (the step still fills the KV cache)
         in_primer = pos + 1 < n_primer
@@ -190,7 +201,7 @@ def greedy_decode_timestamps(
         return {
             "pos": pos + 1, "tokens": tokens, "self_kv": self_kv,
             "done": done, "max_ts": max_ts, "sum_lp": sum_lp,
-            "has_ts": has_ts,
+            "has_ts": has_ts, "rng": c["rng"],
         }
 
     out = jax.lax.while_loop(cond, body, {
@@ -201,11 +212,21 @@ def greedy_decode_timestamps(
         "max_ts": jnp.full((b,), ts0, jnp.int32),
         "sum_lp": jnp.zeros((b,), jnp.float32),
         "has_ts": jnp.zeros((b,), bool),
+        "rng": rng if rng is not None else jax.random.PRNGKey(0),
     })
     tokens = out["tokens"]
     is_eot = (tokens == sp.eot) & (jnp.arange(total)[None] >= n_primer)
     lengths = jnp.where(jnp.any(is_eot, 1), jnp.argmax(is_eot, 1), total)
     return tokens, lengths, out["sum_lp"]
+
+
+def compression_ratio(text: str) -> float:
+    """gzip compression ratio — the repetition-loop detector
+    (whisper utils.py compression_ratio)."""
+    import zlib
+
+    data = text.encode("utf-8")
+    return len(data) / max(len(zlib.compress(data)), 1)
 
 
 def transcribe(
@@ -215,13 +236,21 @@ def transcribe(
     tokenizer=None,
     language: str | None = None,
     task: str = "transcribe",
+    temperature: tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: float | None = 2.4,
     no_speech_threshold: float = 0.6,
-    logprob_threshold: float = -1.0,
+    logprob_threshold: float | None = -1.0,
     max_steps: int = 224,
+    word_timestamps: bool = False,
+    seed: int = 0,
 ) -> dict:
     """Long-form transcription of arbitrary-length 16 kHz audio
     (whisper `transcribe.py`): 30 s windows, timestamp-token seek,
-    first-window language detection, no-speech skipping.
+    first-window language detection, no-speech skipping, and the
+    temperature fallback ladder (retry hotter when the gzip compression
+    ratio flags a repetition loop or avg logprob is too low,
+    transcribe.py decode_with_fallback). With word_timestamps, each
+    segment carries cross-attention DTW word timings (decode/timing.py).
 
     Returns {"text", "segments": [Segment], "language"}.
     """
@@ -230,6 +259,7 @@ def transcribe(
     sp = SpecialTokens()
     tokenizer = tokenizer or WhisperTokenizer()
     audio = np.asarray(audio, np.float32).reshape(-1)
+    rng = jax.random.PRNGKey(seed)
 
     enc_fn = jax.jit(
         lambda p, m: whisper_encode(p, cfg, m), static_argnums=()
@@ -263,16 +293,36 @@ def transcribe(
 
         nsp = float(no_speech_probs(params, cfg, enc)[0])
         primer = jnp.asarray([[sp.sot, lang_token, task_token]], jnp.int32)
-        tokens, lengths, sum_lp = greedy_decode_timestamps(
-            params, cfg, enc, primer, max_steps=max_steps
-        )
-        toks = np.asarray(tokens)[0, 3 : int(lengths[0])].tolist()
-        avg_lp = float(sum_lp[0]) / max(len(toks) + 1, 1)
+
+        # decode_with_fallback: escalate temperature until the result
+        # passes the compression-ratio and avg-logprob gates
+        toks, avg_lp = [], 0.0
+        for ti, temp in enumerate(temperature):
+            rng, key = jax.random.split(rng)
+            tokens, lengths, sum_lp = greedy_decode_timestamps(
+                params, cfg, enc, primer, max_steps=max_steps,
+                temperature=float(temp), rng=key,
+            )
+            toks = np.asarray(tokens)[0, 3 : int(lengths[0])].tolist()
+            avg_lp = float(sum_lp[0]) / max(len(toks) + 1, 1)
+            text_ids_all = [t for t in toks if t < sp.eot]
+            needs_fallback = False
+            if compression_ratio_threshold is not None and text_ids_all:
+                if (compression_ratio(tokenizer.decode(text_ids_all))
+                        > compression_ratio_threshold):
+                    needs_fallback = True
+            if logprob_threshold is not None and avg_lp < logprob_threshold:
+                needs_fallback = True
+            if not needs_fallback or ti == len(temperature) - 1:
+                break
 
         seek_time = seek / SAMPLE_RATE
-        if nsp > no_speech_threshold and avg_lp < logprob_threshold:
+        if nsp > no_speech_threshold and (
+            logprob_threshold is None or avg_lp < logprob_threshold
+        ):
             seek += CHUNK_SAMPLES  # silence: skip the window
             continue
+        n_before = len(segments)
 
         # split into timestamped segments
         ts_idx = [i for i, t in enumerate(toks) if t >= sp.timestamp_begin]
@@ -309,6 +359,30 @@ def transcribe(
                 add_segment(seek_time + start, seek_time + end,
                             tokenizer.decode(text_ids), toks)
             seek += CHUNK_SAMPLES
+
+        if word_timestamps and len(segments) > n_before:
+            from agacs_tpu.decode.timing import find_word_alignment
+
+            window_text = [t for t in toks if t < sp.eot]
+            valid_frames = min(
+                CHUNK_SAMPLES,
+                len(audio) - int(seek_time * SAMPLE_RATE),
+            ) // 160 // 2
+            words = find_word_alignment(
+                params, cfg, tokenizer, window_text, enc,
+                num_frames=max(valid_frames, 1),
+                primer=(sp.sot, lang_token, task_token),
+            )
+            new_segs = segments[n_before:]
+            for w in words:
+                mid = seek_time + (w.start + w.end) / 2
+                host = min(
+                    new_segs,
+                    key=lambda s: 0.0 if s.start <= mid <= s.end
+                    else min(abs(mid - s.start), abs(mid - s.end)),
+                )
+                host.words.append(dataclasses.replace(
+                    w, start=seek_time + w.start, end=seek_time + w.end))
 
     return {"text": "".join(texts), "segments": segments,
             "language": detected}

@@ -65,17 +65,20 @@ def label_smoothing_loss(
     ignore = tgt == ignore_id
     tgt_safe = jnp.where(ignore, 0, tgt)
 
-    log_probs = jax.nn.log_softmax(x, axis=-1)
     off = smoothing / (v - 1)
     conf = 1.0 - smoothing
 
     # KLDivLoss(log_probs, true_dist) summed over classes:
     #   Σ_c p_c (log p_c - log q_c)
-    # with p = off everywhere except conf at the target.
+    # with p = off everywhere except conf at the target. Expanded so no
+    # (N, V) log-softmax materializes in HBM:
+    #   Σ_c log_softmax(x)_c = Σ_c x_c − V·lse(x)
+    #   log_softmax(x)_t     = x_t − lse(x)
     entropy = (v - 1) * off * jnp.log(off) + conf * jnp.log(conf)
-    cross = off * jnp.sum(log_probs, axis=-1) + (conf - off) * jnp.take_along_axis(
-        log_probs, tgt_safe[:, None], axis=-1
-    ).squeeze(-1)
+    lse = jax.nn.logsumexp(x, axis=-1)
+    row_sum = jnp.sum(x, axis=-1)
+    x_t = jnp.take_along_axis(x, tgt_safe[:, None], axis=-1).squeeze(-1)
+    cross = off * (row_sum - v * lse) + (conf - off) * (x_t - lse)
     kl = entropy - cross
     kl = jnp.where(ignore, 0.0, kl)
 

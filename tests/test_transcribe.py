@@ -86,7 +86,8 @@ def test_transcribe_long_form():
     audio = (0.05 * rng.randn(65 * 16000)).astype(np.float32)
 
     out = transcribe(params, CFG, audio, language="zh", max_steps=12,
-                     no_speech_threshold=1.1)  # never skip (random model)
+                     no_speech_threshold=1.1,   # never skip (random model)
+                     temperature=(0.0,), logprob_threshold=None)
     assert out["language"] == "zh"
     assert isinstance(out["text"], str)
     segs = out["segments"]
@@ -100,5 +101,33 @@ def test_transcribe_detects_language():
     params = init_whisper_params(jax.random.PRNGKey(4), CFG)
     audio = np.zeros(2 * 16000, np.float32)
     out = transcribe(params, CFG, audio, max_steps=8,
-                     no_speech_threshold=1.1)
+                     no_speech_threshold=1.1,
+                     temperature=(0.0,), logprob_threshold=None)
     assert out["language"] in LANGUAGES
+
+
+def test_temperature_fallback_and_word_timestamps():
+    """Failing thresholds escalate the temperature ladder (sampled decode
+    differs from greedy); word_timestamps attaches DTW word timings."""
+    params = init_whisper_params(jax.random.PRNGKey(4), CFG)
+    rng = np.random.RandomState(1)
+    audio = (0.05 * rng.randn(4 * 16000)).astype(np.float32)
+
+    greedy = transcribe(params, CFG, audio, language="zh", max_steps=10,
+                        no_speech_threshold=1.1,
+                        temperature=(0.0,), logprob_threshold=None)
+    # impossible logprob gate: every temperature fails, ladder runs to 1.0
+    hot = transcribe(params, CFG, audio, language="zh", max_steps=10,
+                     no_speech_threshold=1.1,
+                     temperature=(0.0, 1.0), logprob_threshold=0.0)
+    g = [t for s in greedy["segments"] for t in s.tokens]
+    h = [t for s in hot["segments"] for t in s.tokens]
+    assert g != h  # temperature-1.0 sampling diverges from greedy
+
+    out = transcribe(params, CFG, audio, language="zh", max_steps=10,
+                     no_speech_threshold=1.1, temperature=(0.0,),
+                     logprob_threshold=None, word_timestamps=True)
+    words = [w for s in out["segments"] for w in s.words]
+    assert words
+    for w in words:
+        assert 0.0 <= w.start <= w.end
