@@ -211,8 +211,21 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
         sub = reporter.start_epoch("train", epoch)
+        nonfinite_before = float(np.asarray(
+            getattr(state.opt_state, "total_notfinite", 0)))
         run_batches(train_ds, epoch_batches, sub, train_step, True)
-        reporter.finish_epoch(sub)
+        train_stats = reporter.finish_epoch(sub)
+        # abort when every optimizer step this epoch was skipped for
+        # non-finite grads (reference trainer.py:450-456
+        # all_steps_are_invalid)
+        nonfinite_now = float(np.asarray(
+            getattr(state.opt_state, "total_notfinite", 0)))
+        if (len(epoch_batches) > 0
+                and nonfinite_now - nonfinite_before >= len(epoch_batches)):
+            raise RuntimeError(
+                f"epoch {epoch}: all {len(epoch_batches)} steps had "
+                "non-finite gradients; aborting (check lr/data)"
+            )
 
         sub = reporter.start_epoch("valid", epoch)
         run_batches(valid_ds, valid_batches, sub, eval_step, False)

@@ -127,6 +127,11 @@ def make_train_step(
         gnorm = optax.global_norm(grads)
         stats = dict(stats)
         stats["grad_norm"] = gnorm
+        if hasattr(new_opt, "total_notfinite"):
+            # skipped-update counter (reference "grad norm is nan. Skipping
+            # updating the model", trainer.py:679-694) — lets the epoch
+            # loop abort when every step was invalid (trainer.py:450-456)
+            stats["grad_nonfinite_total"] = new_opt.total_notfinite
         new_state = TrainState(
             step=state.step + 1, params=new_params, opt_state=new_opt, rng=new_rng
         )

@@ -193,3 +193,38 @@ def test_checkpoint_manager_nbest(tok, tmp_path):
         np.asarray(p["encoder"]["conv1"]["b"]),
         np.asarray(state.params["encoder"]["conv1"]["b"]),
     )
+
+
+def test_nonfinite_step_skipped_and_counted():
+    """A non-finite gradient skips the update (apply_if_finite) and the
+    step reports the skip counter (reference trainer.py:679-694 skip +
+    :450-456 all-invalid abort signal)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from agacs_tpu.train.optim import OptimConfig
+    from agacs_tpu.train.trainer import build_tx, create_train_state, make_train_step
+
+    params = {"w": jnp.ones((4,))}
+
+    def loss_fn(p, cfg, batch, train=True, rng=None):
+        loss = jnp.sum(p["w"] * batch["x"])
+        return loss, {"loss": loss}
+
+    tx, _ = build_tx(params, OptimConfig(warmup_steps=1))
+    state = create_train_state(params, tx, jax.random.PRNGKey(0))
+    step = make_train_step(None, tx, loss_fn=loss_fn, donate=False)
+
+    bad = {"x": jnp.asarray([jnp.inf, 1.0, 1.0, 1.0])}
+    good = {"x": jnp.ones((4,))}
+
+    w0 = np.asarray(state.params["w"]).copy()
+    state, stats = step(state, bad)
+    assert int(stats["grad_nonfinite_total"]) == 1
+    np.testing.assert_array_equal(np.asarray(state.params["w"]), w0)  # skipped
+
+    state, stats = step(state, good)
+    assert int(stats["grad_nonfinite_total"]) == 1  # no new skips
+    assert not np.allclose(np.asarray(state.params["w"]), w0)  # applied
