@@ -166,9 +166,11 @@ def _decode_whisper(args, task, params, ds):
         items = [ds[u] for u in chunk]
         s_max = max(len(it["speech"]) for it in items)
         audio = np.zeros((len(items), s_max), np.float32)
+        lens = np.zeros((len(items),), np.int32)
         for k, it in enumerate(items):
             audio[k, : len(it["speech"])] = it["speech"]
-        results = s2t(audio)
+            lens[k] = len(it["speech"])
+        results = s2t(audio, lengths=lens)
         for u, r in zip(chunk, results):
             hyps[u] = r.text
             refs[u] = ds.text[u]

@@ -118,13 +118,23 @@ class Speech2Text:
             return min(max(1, int(self.maxlenratio * t_enc)), cap)
         return min(t_enc, cap)  # maxlenratio == 0: maxlen = frames
 
-    def __call__(self, audio: np.ndarray, fs: int = 16000) -> list[DecodeResult]:
-        """audio: (T,) or (B, T) float waveform at 16 kHz."""
+    def __call__(
+        self,
+        audio: np.ndarray,
+        fs: int = 16000,
+        lengths: np.ndarray | None = None,
+    ) -> list[DecodeResult]:
+        """audio: (T,) or (B, T) float waveform at 16 kHz; `lengths` gives
+        each padded row's true sample count (CTC frame lengths + RTF)."""
         audio = np.asarray(audio, np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
         b, s = audio.shape
-        lengths = jnp.full((b,), s, jnp.int32)
+        lengths = (
+            jnp.asarray(lengths, jnp.int32)
+            if lengths is not None
+            else jnp.full((b,), s, jnp.int32)
+        )
 
         t0 = time.perf_counter()
         enc, enc_lens = self._encode(self.params, jnp.asarray(audio), lengths)
@@ -163,7 +173,7 @@ class Speech2Text:
         lens = np.asarray(lens)
         scores = np.asarray(scores)
         self._decode_seconds += time.perf_counter() - t0
-        self._audio_seconds += b * s / fs
+        self._audio_seconds += float(np.asarray(lengths).sum()) / fs
 
         out = []
         for i in range(b):
