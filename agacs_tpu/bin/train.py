@@ -169,14 +169,15 @@ def main(argv: list[str] | None = None) -> dict:
             batch = collate_batch([ds[u] for u in utts])
             batch.pop("utt_ids")
             batch.pop("text_lengths")
-            return batch
+            # device_put in the prefetch thread: the host->device copy
+            # overlaps the previous steps' compute
+            return shard_batch(mesh, batch)
 
         from agacs_tpu.data.prefetch import prefetch_batches
 
         batches = prefetch_batches(make_batch, batch_ids, lookahead=2)
         for i, (utts, batch) in enumerate(zip(batch_ids, batches)):
             with sub.measure_time("iter_time"):
-                batch = shard_batch(mesh, batch)
                 with sub.measure_time("step_time"):
                     if is_train:
                         state, stats = step_fn(state, batch)
