@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from agacs_tpu.data import ASRDataset
+from agacs_tpu.data.sampler import bucket_length
 from agacs_tpu.decode.speech2text import Speech2Text
 from agacs_tpu.eval.scoring import write_trn
 from agacs_tpu.train.checkpoint import load_pytree_like
@@ -94,7 +95,9 @@ def _decode_conformer(args, task, params, ds):
     for i in range(0, len(utts), args.batch_size):
         chunk = utts[i : i + args.batch_size]
         items = [ds[u] for u in chunk]
-        s_max = max(len(it["speech"]) for it in items)
+        # bucket the padded length (1 s grid): a closed jit shape set
+        # instead of one compile per distinct chunk max
+        s_max = bucket_length(max(len(it["speech"]) for it in items))
         audio = np.zeros((len(items), s_max), np.float32)
         lens = np.zeros((len(items),), np.int32)
         for k_i, it in enumerate(items):
@@ -164,7 +167,7 @@ def _decode_whisper(args, task, params, ds):
     for i in range(0, len(utts), args.batch_size):
         chunk = utts[i : i + args.batch_size]
         items = [ds[u] for u in chunk]
-        s_max = max(len(it["speech"]) for it in items)
+        s_max = bucket_length(max(len(it["speech"]) for it in items))
         audio = np.zeros((len(items), s_max), np.float32)
         lens = np.zeros((len(items),), np.int32)
         for k, it in enumerate(items):

@@ -62,19 +62,68 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_bins", type=int, default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--tensor_parallel", type=int, default=1)
+    p.add_argument("--print_config", action="store_true",
+                   help="dump the resolved config (abs_task.py:1019-1024) "
+                        "and exit")
     p.add_argument("--num_att_plot", type=int, default=3,
                    help="attention-map PNGs per eval epoch "
                         "(trainer.py:802+ --num_att_plot; 0 disables)")
     return p
 
 
-def load_init_params(path: str, params, cfg):
+def load_init_params(spec: str, params, cfg):
     """--init_param with --ignore_init_mismatch semantics
-    (abs_task.py:1317-1325): missing/mismatched leaves keep their init."""
+    (abs_task.py:1317-1325): missing/mismatched leaves keep their init.
+
+    Supports the reference's mapping syntax
+    `path[:src_prefix[:dst_prefix[:exclude1,exclude2]]]`
+    (espnet2 load_pretrained_model): npz keys under src_prefix load into
+    dst_prefix, exclude prefixes are skipped."""
+    parts = spec.split(":")
+    path = parts[0]
+    src = parts[1] if len(parts) > 1 else ""
+    dst = parts[2] if len(parts) > 2 else ""
+    exclude = tuple(p for p in (parts[3].split(",") if len(parts) > 3 else ())
+                    if p)
     if path.endswith(".pt") or path.endswith(".pth"):
         loaded, _ = load_torch_whisper(path, cfg.whisper)
         return loaded
-    return load_pytree_like(path, params)
+    if not (src or dst or exclude):
+        return load_pytree_like(path, params)
+
+    import numpy as np
+
+    import jax
+
+    data = dict(np.load(path).items())
+    if src or dst:
+        src_p = src + "/" if src else ""
+        dst_p = dst + "/" if dst else ""
+        remapped = {}
+        for k, v in data.items():
+            if src_p and not (k == src or k.startswith(src_p)):
+                continue
+            nk = dst_p + k[len(src_p):] if src_p else dst_p + k
+            remapped[nk] = v
+        data = remapped
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    def name(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    out = []
+    n_loaded = 0
+    for kp, tmpl in flat:
+        k = name(kp)
+        skip = any(k == e or k.startswith(e + "/") for e in exclude)
+        if not skip and k in data and data[k].shape == tmpl.shape:
+            out.append(jax.numpy.asarray(data[k], dtype=tmpl.dtype))
+            n_loaded += 1
+        else:
+            out.append(tmpl)
+    logging.info("init_param: loaded %d/%d leaves from %s", n_loaded,
+                 len(flat), path)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -87,6 +136,30 @@ def main(argv: list[str] | None = None) -> dict:
     )
 
     raw = apply_overrides(load_yaml(args.config), args.override)
+    if args.print_config:
+        import dataclasses as _dc
+
+        import yaml as _yaml
+
+        task = task_from_dict(raw, compute_dtype=getattr(jnp, args.compute_dtype))
+
+        def clean(x):
+            if isinstance(x, dict):
+                return {k: clean(v) for k, v in x.items()}
+            if isinstance(x, (list, tuple)):
+                return [clean(v) for v in x]
+            if isinstance(x, (str, int, float, bool)) or x is None:
+                return x
+            return str(x)
+
+        resolved = dict(raw)
+        resolved["_resolved_model_config"] = clean(
+            _dc.asdict(_dc.replace(task.cfg))
+            if _dc.is_dataclass(task.cfg) else str(task.cfg)
+        )
+        print(_yaml.safe_dump(resolved, allow_unicode=True,
+                              default_flow_style=False, sort_keys=False))
+        return {"printed": True}
     dtype = getattr(jnp, args.compute_dtype)
     task = task_from_dict(raw, compute_dtype=dtype)
     cfg = task.cfg

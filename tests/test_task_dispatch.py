@@ -132,3 +132,46 @@ def test_ctc_greedy_decode_pipeline():
     hyps = ctc_greedy_decode(params, enc, batch)
     assert len(hyps) == 2
     assert all(isinstance(h, list) for h in hyps)
+
+
+def test_init_param_prefix_mapping(tmp_path):
+    """--init_param path:src:dst:exclude mapping semantics
+    (espnet2 load_pretrained_model / abs_task.py:627-651)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from agacs_tpu.bin.train import load_init_params
+    from agacs_tpu.models.asr_model import ASRModelConfig, init_asr_params
+    from agacs_tpu.models.whisper import WhisperConfig
+    from agacs_tpu.train.checkpoint import save_pytree
+
+    cfg = ASRModelConfig(
+        whisper=WhisperConfig(
+            n_mels=80, n_audio_ctx=10, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=1, n_vocab=50, n_text_ctx=8, n_text_state=64,
+            n_text_head=4, n_text_layer=1,
+        ),
+        use_specaug=False,
+    )
+    src_params = init_asr_params(jax.random.PRNGKey(5), cfg)
+    ckpt = str(tmp_path / "src.params.npz")
+    save_pytree(ckpt, src_params)
+
+    tgt = init_asr_params(jax.random.PRNGKey(9), cfg)
+    # load ONLY the encoder subtree, excluding its conv stem
+    loaded = load_init_params(f"{ckpt}:encoder:encoder:encoder/conv1", tgt, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["encoder"]["blocks"]["attn"]["query"]["w"]),
+        np.asarray(src_params["encoder"]["blocks"]["attn"]["query"]["w"]),
+    )
+    # excluded + outside-src leaves keep the target init
+    np.testing.assert_array_equal(
+        np.asarray(loaded["encoder"]["conv1"]["w"]),
+        np.asarray(tgt["encoder"]["conv1"]["w"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded["decoder"]["token_emb"]),
+        np.asarray(tgt["decoder"]["token_emb"]),
+    )
