@@ -195,3 +195,32 @@ def test_real_clip_greedy_parity_vs_torch_oracle(ref_clip_bytes):
     if got and got[-1] != eot and ref_tokens[-1] != eot:
         pass  # both hit the step cap
     assert got == ref_tokens, (got, ref_tokens)
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 4095, 4096, 4097, 8192])
+def test_encode_decode_boundary_lengths(n):
+    """Block-boundary lengths (4096-block frames) round-trip exactly."""
+    rng = np.random.RandomState(n or 1)
+    pcm = (rng.randn(n) * 3000).astype(np.int16)
+    blob = F.encode_flac(pcm, 16000)
+    dec, sr = F.decode_flac(blob)
+    assert sr == 16000
+    np.testing.assert_array_equal(dec.reshape(-1), pcm)
+
+
+def test_decode_rejects_corruption():
+    pcm = (np.random.RandomState(0).randn(5000) * 3000).astype(np.int16)
+    blob = bytearray(F.encode_flac(pcm, 16000))
+    with pytest.raises(F.FlacError):
+        F.decode_flac(b"RIFFnotflac")
+    # flip PCM-affecting bits in a frame body: MD5 self-check catches it
+    blob[len(blob) // 2] ^= 0xFF
+    with pytest.raises(F.FlacError):
+        F.decode_flac(bytes(blob))
+
+
+def test_decode_truncated_raises():
+    pcm = (np.random.RandomState(1).randn(9000) * 3000).astype(np.int16)
+    blob = F.encode_flac(pcm, 16000)
+    with pytest.raises(F.FlacError, match="truncated|malformed"):
+        F.decode_flac(blob[: len(blob) // 2])
