@@ -88,6 +88,7 @@ def model_config_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> ASRMod
     # reference recipes (e.g. tmecs pedecoder: decoder-only PE)
     whisper = make_config(
         model_size,
+        remat=enc_conf.get("remat", "dots_nb"),
         adapter=bool(enc_conf.get("adapter", False) or dec_conf.get("adapter", False)),
         pe_attention=bool(
             enc_conf.get("pe_whisper", False) or dec_conf.get("pe_whisper", False)

@@ -63,8 +63,11 @@ def whisper_fwd_flops(b: int, seconds: int, t_text: int = 33,
     macs = stem + layers * (enc_layer + dec_layer) + logits
     return 2.0 * macs * b
 
-# (batch, seconds): the legacy headline shape + batch_bins-realistic packs
-SHAPES = [(8, 15), (16, 15), (32, 5), (64, 5)]
+# (batch, seconds, remat): the legacy headline shape + batch_bins-realistic
+# packs, each with its measured-best remat policy (docs/PERF.md round-2
+# table: dots_nb wins at 15 s, full at the largest 5 s pack)
+SHAPES = [(8, 15, "dots_nb"), (16, 15, "dots_nb"),
+          (32, 5, "dots_nb"), (64, 5, "full")]
 STEPS = 10
 
 
@@ -100,18 +103,20 @@ def main():
     from agacs_tpu.train.optim import OptimConfig
     from agacs_tpu.train.trainer import build_tx, create_train_state, make_train_step
 
-    cfg = ASRModelConfig(
-        whisper=make_config("small", adapter=True, compute_dtype=jnp.bfloat16),
-        cs_weight=0.01,
-        use_specaug=True,
-    )
-    params = init_asr_params(jax.random.PRNGKey(0), cfg)
-    tx, mask = build_tx(params, OptimConfig(warmup_steps=500), freeze_preset="adapter")
-    step = make_train_step(cfg, tx, trainable_mask=mask, donate=False)
-
     matrix = {}
     best = (0.0, None)
-    for batch_size, seconds in SHAPES:
+    for batch_size, seconds, remat in SHAPES:
+        cfg = ASRModelConfig(
+            whisper=make_config("small", adapter=True,
+                                compute_dtype=jnp.bfloat16, remat=remat),
+            cs_weight=0.01,
+            use_specaug=True,
+        )
+        params = init_asr_params(jax.random.PRNGKey(0), cfg)
+        tx, mask = build_tx(
+            params, OptimConfig(warmup_steps=500), freeze_preset="adapter"
+        )
+        step = make_train_step(cfg, tx, trainable_mask=mask, donate=False)
         batch = _make_batch(batch_size, seconds)
         state = create_train_state(params, tx, jax.random.PRNGKey(1))
 
