@@ -35,6 +35,11 @@ from agacs_tpu.utils.config import load_yaml, task_from_dict
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
+    p.add_argument("--decode_config", default=None,
+                   help="decode-option YAML (the reference's "
+                        "decode_asr_whisper.yaml / decode_asr.yaml: "
+                        "beam_size, ctc_weight, lm_weight, penalty, "
+                        "maxlenratio); CLI flags override it")
     p.add_argument("--params", required=True)
     p.add_argument("--data_dir", required=True)
     p.add_argument("--output_dir", required=True)
@@ -55,6 +60,24 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ngram_weight", type=float, default=0.3)
     p.add_argument("--compute_dtype", default="bfloat16")
     return p
+
+
+def _apply_decode_config(args, path: str, raw_argv: list[str]) -> None:
+    """Apply a decode-option YAML (decode_asr_whisper.yaml schema) as
+    argparse defaults; explicitly-given CLI flags win. A config bearing
+    maxlenratio means "derive maxlen from frames" (max_steps 0) unless
+    --max_steps was given."""
+    dc = load_yaml(path)
+    key_map = {"penalty": "length_bonus"}
+    given = {a.split("=")[0].lstrip("-").replace("-", "_")
+             for a in raw_argv if a.startswith("--")}
+    for k, v in dc.items():
+        dest = key_map.get(k, k)
+        if hasattr(args, dest) and dest not in given:
+            cur = getattr(args, dest)
+            setattr(args, dest, type(cur)(v) if cur is not None else v)
+    if "maxlenratio" in dc and "max_steps" not in given:
+        args.max_steps = 0
 
 
 def _load_lm_config(lm_exp: str):
@@ -112,12 +135,17 @@ def _decode_conformer(args, task, params, ds):
                 + params["ctc"]["b"].astype(enc.dtype)
             ).astype(jnp.float32)
             ctc_logp = jax.nn.log_softmax(logits, -1)
+        # maxlenratio==0 semantics: maxlen = encoder frames
+        # (beam_search.py:365-371); max_steps>0 is an explicit cap
+        max_steps = (
+            args.max_steps if args.max_steps > 0 else int(enc.shape[1])
+        )
         tokens, lens_out, _ = joint_beam_decode(
             params["decoder"], cfg.decoder, enc, enc_lens,
             ctc_logp=ctc_logp, ctc_frame_lens=enc_lens,
             lm_params=lm_params, lm_cfg=lm_cfg,
             beam_size=args.beam_size, pre_beam=max(2 * args.beam_size, 4),
-            max_steps=args.max_steps, sos=cfg.sos, eos=cfg.eos,
+            max_steps=max_steps, sos=cfg.sos, eos=cfg.eos,
             ctc_weight=args.ctc_weight if ctc_logp is not None else 0.0,
             lm_weight=args.lm_weight if lm_params is not None else 0.0,
             length_bonus=args.length_bonus,
@@ -192,8 +220,15 @@ def main(argv: list[str] | None = None) -> dict:
     from agacs_tpu.utils.runtime import setup as _runtime_setup
 
     _runtime_setup()
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    if args.decode_config:
+        _apply_decode_config(
+            args, args.decode_config,
+            argv if argv is not None else os.sys.argv[1:],
+        )
 
     task = task_from_dict(
         load_yaml(args.config), compute_dtype=getattr(jnp, args.compute_dtype)

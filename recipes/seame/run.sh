@@ -74,9 +74,9 @@ if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then
     out="${exp}/stage2/decode_${set}"
     ${python} -m agacs_tpu.bin.decode \
       --config "${exp}/stage2/config.yaml" \
+      --decode_config "${conf_dir}/decode_asr_whisper.yaml" \
       --params "${exp}/stage2/valid.acc.ave.params.npz" \
-      --data_dir "${data}/${set}" --output_dir "${out}" \
-      --beam_size 1
+      --data_dir "${data}/${set}" --output_dir "${out}"
     ${python} -m agacs_tpu.bin.score \
       --ref "${out}/ref.trn" --hyp "${out}/hyp.trn" \
       --output_dir "${out}/score"

@@ -47,8 +47,8 @@ if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
       --config "${exp}/config.yaml" \
       --params "${exp}/valid.acc.ave.params.npz" \
       --data_dir "${data}/${set}" --output_dir "${out}" \
-      --beam_size 10 --ctc_weight 0.3 \
-      --lm_exp "${lm_exp}" --lm_weight 0.3
+      --decode_config "${conf_dir}/decode_asr.yaml" \
+      --lm_exp "${lm_exp}"
   done
 fi
 

@@ -175,3 +175,28 @@ def test_init_param_prefix_mapping(tmp_path):
         np.asarray(loaded["decoder"]["token_emb"]),
         np.asarray(tgt["decoder"]["token_emb"]),
     )
+
+
+def test_decode_config_yaml_defaults(tmp_path):
+    """--decode_config YAML supplies decode options (decode_asr_whisper.yaml
+    schema); explicit CLI flags override; maxlenratio-bearing configs
+    derive maxlen from encoder frames (max_steps 0); penalty maps to
+    length_bonus."""
+    from agacs_tpu.bin.decode import _apply_decode_config, build_argparser
+    from agacs_tpu.utils.config import dump_resolved
+
+    dc = tmp_path / "decode.yaml"
+    dump_resolved(str(dc), {
+        "beam_size": 4, "ctc_weight": 0.2, "lm_weight": 0.0,
+        "maxlenratio": 0.0, "minlenratio": 0.0, "penalty": 0.5,
+    })
+    argv = ["--config", "x.yaml", "--params", "p", "--data_dir", "d",
+            "--output_dir", "o", "--decode_config", str(dc),
+            "--beam_size", "2"]
+    args = build_argparser().parse_args(argv)
+    _apply_decode_config(args, str(dc), argv)
+    assert args.beam_size == 2          # explicit CLI flag wins
+    assert args.ctc_weight == 0.2       # YAML default applied
+    assert args.length_bonus == 0.5     # penalty -> length_bonus
+    assert args.max_steps == 0          # maxlenratio config derives maxlen
+    assert args.maxlenratio == 0.0
