@@ -65,6 +65,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--print_config", action="store_true",
                    help="dump the resolved config (abs_task.py:1019-1024) "
                         "and exit")
+    p.add_argument("--ckpt_backend", default="npz", choices=["npz", "orbax"],
+                   help="orbax: sharded multi-host-safe checkpoint dirs")
     p.add_argument("--num_att_plot", type=int, default=3,
                    help="attention-map PNGs per eval epoch "
                         "(trainer.py:802+ --num_att_plot; 0 disables)")
@@ -210,7 +212,7 @@ def main(argv: list[str] | None = None) -> dict:
 
     mgr = CheckpointManager(
         args.exp_dir, keep_nbest=tcfg.keep_nbest_models,
-        criterion=tcfg.best_model_criterion,
+        criterion=tcfg.best_model_criterion, backend=args.ckpt_backend,
     )
     history: dict = {}
     start_epoch = 1

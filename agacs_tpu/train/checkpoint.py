@@ -89,24 +89,68 @@ class CheckpointManager:
         checkpoint.params.npz     latest params (resume point)
         checkpoint.opt.npz        latest optimizer state
         valid.acc.ave.params.npz  n-best average (written by average_nbest)
+
+    backend="orbax" swaps the npz leaves for orbax StandardCheckpointer
+    directories ({n}epoch.params.orbax/ ...): sharded arrays save without
+    a host gather and restore onto their meshes — the multi-host /
+    tensor-parallel path (npz would pull every shard through one host).
     """
 
     def __init__(self, exp_dir: str, keep_nbest: int = 3,
-                 criterion: tuple[str, str, str] = ("valid", "acc", "max")):
+                 criterion: tuple[str, str, str] = ("valid", "acc", "max"),
+                 backend: str = "npz"):
+        assert backend in ("npz", "orbax"), backend
         self.exp_dir = exp_dir
         self.keep_nbest = keep_nbest
         self.criterion = tuple(criterion)
+        self.backend = backend
         os.makedirs(exp_dir, exist_ok=True)
+        self._orbax = None
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._orbax = ocp.StandardCheckpointer()
+
+    # -- backend-dispatched leaf IO ---------------------------------------
+    def _params_path(self, stem: str) -> str:
+        ext = "orbax" if self.backend == "orbax" else "npz"
+        return os.path.join(self.exp_dir, f"{stem}.{ext}")
+
+    def _save_tree(self, path: str, tree) -> None:
+        if self.backend == "orbax":
+            import shutil
+
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            self._orbax.save(os.path.abspath(path), tree)
+        else:
+            save_pytree(path, tree)
+
+    def _load_tree(self, path: str, template):
+        if self.backend == "orbax":
+            import jax.numpy as jnp
+
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template
+            )
+            restored = self._orbax.restore(os.path.abspath(path), abstract)
+            return jax.tree.map(lambda x, t: jnp.asarray(x, t.dtype),
+                                restored, template)
+        return load_pytree_like(path, template)
 
     def _meta_path(self) -> str:
         return os.path.join(self.exp_dir, "checkpoint_meta.json")
 
     def save_epoch(self, epoch: int, state, history: dict) -> None:
         """history: {epoch: {"valid": {...}, "train": {...}}}."""
-        p = os.path.join(self.exp_dir, f"{epoch}epoch.params.npz")
-        save_pytree(p, state.params)
-        save_pytree(os.path.join(self.exp_dir, "checkpoint.params.npz"), state.params)
-        save_opt_state(os.path.join(self.exp_dir, "checkpoint.opt.npz"), state.opt_state)
+        self._save_tree(self._params_path(f"{epoch}epoch.params"), state.params)
+        self._save_tree(self._params_path("checkpoint.params"), state.params)
+        if self.backend == "orbax":
+            self._save_tree(self._params_path("checkpoint.opt"), state.opt_state)
+        else:
+            save_opt_state(
+                os.path.join(self.exp_dir, "checkpoint.opt.npz"), state.opt_state
+            )
         meta = {
             "epoch": epoch,
             "step": int(state.step),
@@ -132,12 +176,17 @@ class CheckpointManager:
         meta = self.load_meta()
         if meta is None:
             return state, 1, {}
-        params = load_pytree_like(
-            os.path.join(self.exp_dir, "checkpoint.params.npz"), state.params
+        params = self._load_tree(
+            self._params_path("checkpoint.params"), state.params
         )
-        opt_state = load_opt_state_like(
-            os.path.join(self.exp_dir, "checkpoint.opt.npz"), state.opt_state
-        )
+        if self.backend == "orbax":
+            opt_state = self._load_tree(
+                self._params_path("checkpoint.opt"), state.opt_state
+            )
+        else:
+            opt_state = load_opt_state_like(
+                os.path.join(self.exp_dir, "checkpoint.opt.npz"), state.opt_state
+            )
         import dataclasses
 
         state = dataclasses.replace(
@@ -166,27 +215,35 @@ class CheckpointManager:
 
     def _prune(self, history: dict) -> None:
         """Remove per-epoch snapshots outside the n-best (trainer.py:417-447)."""
+        import shutil
+
         keep = set(self._ranked_epochs(history)[: self.keep_nbest])
+        ext = "orbax" if self.backend == "orbax" else "npz"
         for fname in os.listdir(self.exp_dir):
-            if fname.endswith("epoch.params.npz"):
+            if fname.endswith(f"epoch.params.{ext}"):
                 ep = int(fname.split("epoch")[0])
                 if ep not in keep:
-                    os.remove(os.path.join(self.exp_dir, fname))
+                    full = os.path.join(self.exp_dir, fname)
+                    if os.path.isdir(full):
+                        shutil.rmtree(full)
+                    else:
+                        os.remove(full)
 
     def average_nbest(self, history: dict, template) -> Any:
         """Mean of the n best epochs' params -> valid.acc.ave
-        (average_nbest_models.py)."""
+        (average_nbest_models.py). Always ALSO writes the portable npz
+        artifact (decode CLIs read it regardless of backend)."""
         eps = self._ranked_epochs(history)[: self.keep_nbest]
         assert eps, "no scored epochs to average"
         acc = None
         for ep in eps:
-            p = load_pytree_like(
-                os.path.join(self.exp_dir, f"{ep}epoch.params.npz"), template
-            )
+            p = self._load_tree(self._params_path(f"{ep}epoch.params"), template)
             if acc is None:
-                acc = jax.tree.map(lambda x: x.astype(np.float32), p)
+                acc = jax.tree.map(lambda x: np.asarray(x, np.float32), p)
             else:
-                acc = jax.tree.map(lambda a, x: a + x.astype(np.float32), acc, p)
+                acc = jax.tree.map(
+                    lambda a, x: a + np.asarray(x, np.float32), acc, p
+                )
         avg = jax.tree.map(lambda a: a / len(eps), acc)
         phase, metric, _ = self.criterion
         out = os.path.join(self.exp_dir, f"{phase}.{metric}.ave.params.npz")

@@ -165,3 +165,59 @@ def test_resume(recipe_dir):
         "--max_epoch", "3",
     ])
     assert 3 in out["history"]
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """CheckpointManager(backend='orbax') round-trips sharded params +
+    optimizer state and resumes identically to the npz backend (the
+    multi-host-safe path: no host gather on save)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from agacs_tpu.models.asr_model import ASRModelConfig, init_asr_params
+    from agacs_tpu.models.whisper import WhisperConfig
+    from agacs_tpu.parallel import make_mesh, shard_params
+    from agacs_tpu.train.checkpoint import CheckpointManager
+    from agacs_tpu.train.optim import OptimConfig
+    from agacs_tpu.train.trainer import build_tx, create_train_state
+
+    cfg = ASRModelConfig(
+        whisper=WhisperConfig(
+            n_mels=80, n_audio_ctx=10, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=1, n_vocab=64, n_text_ctx=8, n_text_state=64,
+            n_text_head=4, n_text_layer=1,
+        ),
+        use_specaug=False,
+    )
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    params = shard_params(mesh, params, tensor_parallel=True)
+    tx, _ = build_tx(params, OptimConfig(warmup_steps=2))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    state = dataclasses.replace(state, step=jnp.int32(7))
+
+    mgr = CheckpointManager(str(tmp_path), keep_nbest=2, backend="orbax")
+    history = {1: {"valid": {"acc": 0.5}}}
+    mgr.save_epoch(1, state, history)
+    assert (tmp_path / "1epoch.params.orbax").is_dir()
+
+    fresh = create_train_state(
+        init_asr_params(jax.random.PRNGKey(9), cfg), tx, jax.random.PRNGKey(2)
+    )
+    restored, start_epoch, hist = mgr.resume(fresh)
+    assert start_epoch == 2 and hist == history
+    assert int(restored.step) == 7
+    a = np.asarray(state.params["encoder"]["conv1"]["w"])
+    b = np.asarray(restored.params["encoder"]["conv1"]["w"])
+    np.testing.assert_array_equal(a, b)
+    # optimizer state restored leaf-exact
+    la = jax.tree.leaves(state.opt_state)
+    lb = jax.tree.leaves(restored.opt_state)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # n-best averaging writes the portable npz artifact
+    avg = mgr.average_nbest(history, state.params)
+    assert (tmp_path / "valid.acc.ave.params.npz").exists()
