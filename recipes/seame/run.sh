@@ -24,11 +24,14 @@ conf_dir="$(dirname "$0")/conf"
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ] && [ -n "${SEAME}" ]; then
   echo "=== stage 0: corpus prep (local/preprocess.py) + format to flac.ark ==="
+  # segment-level prep goes to ${data}/prep; formatting slices segments
+  # into utterance-level flac.ark dirs at the canonical split names, so
+  # every later stage (incl. speed perturb) sees one-utterance-per-entry
   ${python} -m agacs_tpu.bin.prepare_seame \
-    --data "${SEAME}" --repo "${SEAME_DEV_REPO}" --out "${data}"
+    --data "${SEAME}" --repo "${SEAME_DEV_REPO}" --out "${data}/prep"
   for set in train valid devman devsge; do
     ${python} -m agacs_tpu.bin.format_data \
-      --data_dir "${data}/${set}" --outdir "${data}/${set}_fmt" \
+      --data_dir "${data}/prep/${set}" --outdir "${data}/${set}" \
       --audio_format flac.ark
   done
 fi

@@ -179,3 +179,25 @@ def test_format_segments_to_flac_ark(corpus, tmp_path):
     a, b = ds_seg[u]["speech"], ds_ark[u]["speech"]
     assert len(a) == len(b)
     np.testing.assert_allclose(a, b, atol=2.0 / 32768.0)
+
+
+def test_perturb_over_ark_dir(corpus, tmp_path):
+    """Recipe flow: segments-prep -> flac.ark format -> speed perturb
+    (perturb reads ark entries transparently)."""
+    from agacs_tpu.bin.format_data import main as format_main
+    from agacs_tpu.data.dataset import ASRDataset
+    from agacs_tpu.data.perturb import perturb_data_dir
+
+    out, _ = corpus
+    dump = tmp_path / "train_fmt"
+    format_main(["--data_dir", str(out / "train"), "--outdir", str(dump),
+                 "--audio_format", "flac.ark"])
+    sp = tmp_path / "train_sp"
+    perturb_data_dir(str(dump), str(sp), factors=(0.9, 1.0))
+    ds = ASRDataset(str(sp), min_samples=0)
+    base = ASRDataset(str(dump), min_samples=0)
+    assert len(ds) == 2 * len(base)
+    u = base.utt_ids[0]
+    slow = ds[f"sp0.9-{u}"]["speech"]
+    orig = base[u]["speech"]
+    assert abs(len(slow) - len(orig) / 0.9) < 0.02 * len(orig)
