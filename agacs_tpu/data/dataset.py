@@ -56,6 +56,13 @@ class ASRDataset:
         else:
             self.utt_ids = [u for u in self.wav if u in self.text]
         self._shape_cache: dict[str, int] = {}
+        # format stage writes utt2num_samples (format_wav_scp.py:164):
+        # use it instead of probing every audio header (shape collection
+        # over a 100k-utterance ark dump would otherwise read ~GBs)
+        num_path = os.path.join(data_dir, "utt2num_samples")
+        if os.path.exists(num_path):
+            for u, n in read_scp(num_path).items():
+                self._shape_cache[u] = int(n)
         if min_samples or max_samples:
             kept = []
             for u in self.utt_ids:
