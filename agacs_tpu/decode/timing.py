@@ -136,6 +136,46 @@ class WordTiming:
     probability: float
 
 
+PREPEND_PUNCT = "\"'“¿([{-"
+APPEND_PUNCT = "\"'.。,，!！?？:：”)]}、"
+
+
+def merge_punctuations(
+    alignment: list[WordTiming],
+    prepended: str = PREPEND_PUNCT,
+    appended: str = APPEND_PUNCT,
+) -> list[WordTiming]:
+    """Fold punctuation-only 'words' into their neighbors
+    (timing.py:258-289 merge_punctuations): opening marks attach to the
+    following word, closing marks to the preceding one. Returns the
+    alignment with emptied entries dropped."""
+    # prepended: scan right-to-left
+    i, j = len(alignment) - 2, len(alignment) - 1
+    while i >= 0:
+        prev, foll = alignment[i], alignment[j]
+        if prev.word.startswith(" ") and prev.word.strip() in prepended:
+            foll.word = prev.word + foll.word
+            foll.tokens = prev.tokens + foll.tokens
+            foll.start = prev.start
+            prev.word, prev.tokens = "", []
+        else:
+            j = i
+        i -= 1
+    # appended: scan left-to-right
+    i, j = 0, 1
+    while j < len(alignment):
+        prev, foll = alignment[i], alignment[j]
+        if not prev.word.endswith(" ") and foll.word in appended:
+            prev.word = prev.word + foll.word
+            prev.tokens = prev.tokens + foll.tokens
+            prev.end = foll.end
+            foll.word, foll.tokens = "", []
+        else:
+            i = j
+        j += 1
+    return [w for w in alignment if w.word]
+
+
 def _split_to_word_tokens(tokens: list[int], tokenizer):
     """Group text tokens into words: split on leading spaces, and treat
     CJK characters as individual words (tokenizer split_tokens_on_spaces /
@@ -232,9 +272,10 @@ def find_word_alignment(
         float(np.mean(text_probs[i:j])) if j > i else 0.0
         for i, j in zip(bounds[:-1], bounds[1:])
     ]
-    return [
+    alignment = [
         WordTiming(wd, tk, float(s), float(e), p)
         for wd, tk, s, e, p in zip(
             words, word_tokens, start_times, end_times, probs
         )
     ]
+    return merge_punctuations(alignment)

@@ -121,3 +121,18 @@ def test_find_word_alignment_end_to_end():
         assert 0.0 <= w.probability <= 1.0
     starts = [w.start for w in timings]
     assert starts == sorted(starts)
+
+
+def test_merge_punctuations():
+    from agacs_tpu.decode.timing import WordTiming, merge_punctuations
+
+    a = [
+        WordTiming(" ¿", [1], 0.0, 0.1, 0.5),
+        WordTiming(" hola", [2], 0.1, 0.5, 0.9),
+        WordTiming("?", [3], 0.5, 0.6, 0.8),
+        WordTiming(" ok", [4], 0.6, 1.0, 0.7),
+    ]
+    out = merge_punctuations(a)
+    assert [w.word for w in out] == [" ¿ hola?", " ok"]
+    assert out[0].tokens == [1, 2, 3]
+    assert out[0].start == 0.0 and out[0].end == 0.6
