@@ -65,6 +65,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--print_config", action="store_true",
                    help="dump the resolved config (abs_task.py:1019-1024) "
                         "and exit")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="jax_debug_nans: fail fast on the op producing a "
+                        "NaN (the reference's torch detect_anomaly, "
+                        "abs_task.py:1140-1142)")
     p.add_argument("--ckpt_backend", default="npz", choices=["npz", "orbax"],
                    help="orbax: sharded multi-host-safe checkpoint dirs")
     p.add_argument("--num_att_plot", type=int, default=3,
@@ -137,6 +141,8 @@ def main(argv: list[str] | None = None) -> dict:
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
     )
 
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
     raw = apply_overrides(load_yaml(args.config), args.override)
     if args.print_config:
         import dataclasses as _dc

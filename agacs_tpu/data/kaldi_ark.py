@@ -179,12 +179,23 @@ def iter_ark(path: str):
             if head[:4] == b"RIFF":
                 blob_len = _wav_blob_len(head)
             elif head[:4] == b"fLaC":
-                # decode to find the stream end (frames carry no length)
-                f.seek(offset)
-                data = f.read()
-                _, _, blob_len = _flac.decode_flac(
-                    data, verify_md5=False, return_consumed=True
-                )
+                # decode to find the stream end (frames carry no length);
+                # bounded reads, grown on truncation — not the whole tail
+                size = _CHUNK
+                while True:
+                    f.seek(offset)
+                    data = f.read(size)
+                    try:
+                        _, _, blob_len = _flac.decode_flac(
+                            data, verify_md5=False, return_consumed=True
+                        )
+                        break
+                    except _flac.FlacError as e:
+                        if ("truncated" in str(e)
+                                and offset + size < filesize):
+                            size *= 2
+                            continue
+                        raise
             else:
                 raise ValueError(f"unrecognized blob at {path}:{offset}")
             yield key.decode(), f"{path}:{offset}"
