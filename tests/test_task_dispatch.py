@@ -200,3 +200,22 @@ def test_decode_config_yaml_defaults(tmp_path):
     assert args.length_bonus == 0.5     # penalty -> length_bonus
     assert args.max_steps == 0          # maxlenratio config derives maxlen
     assert args.maxlenratio == 0.0
+
+
+def test_average_checkpoints_cli(tmp_path):
+    """Standalone state-dict averaging (average_nbest_models as a tool)."""
+    import numpy as np
+
+    from agacs_tpu.bin.average_checkpoints import main as ave_main
+    from agacs_tpu.train.checkpoint import load_pytree_like, save_pytree
+
+    t1 = {"a": np.full((3,), 1.0, np.float32), "b": {"c": np.full((2,), 3.0)}}
+    t2 = {"a": np.full((3,), 3.0, np.float32), "b": {"c": np.full((2,), 5.0)}}
+    p1, p2 = str(tmp_path / "e1.npz"), str(tmp_path / "e2.npz")
+    save_pytree(p1, t1)
+    save_pytree(p2, t2)
+    out = str(tmp_path / "ave.npz")
+    ave_main(["--inputs", p1, p2, "--output", out])
+    avg = load_pytree_like(out, t1)
+    np.testing.assert_allclose(np.asarray(avg["a"]), 2.0)
+    np.testing.assert_allclose(np.asarray(avg["b"]["c"]), 4.0)
