@@ -92,3 +92,32 @@ def test_lm_train_cli(tmp_path):
     assert 2 in out["history"]
     assert np.isfinite(out["history"][2]["valid"]["loss"])
     assert (tmp_path / "lm" / "valid.loss.ave.params.npz").exists()
+
+
+def test_lm_calc_perplexity_cli(tmp_path):
+    """lm_calc_perplexity: trained-LM corpus perplexity with exact
+    token-count weighting (espnet2.bin.lm_calc_perplexity)."""
+    from agacs_tpu.bin import lm_calc_perplexity, lm_train
+    from agacs_tpu.data.io import write_scp
+
+    for split in ("train", "valid"):
+        write_scp(
+            str(tmp_path / f"{split}_text"),
+            {"u1": "我们 go", "u2": "hello 你", "u3": "go go"},
+        )
+    lm_train.main([
+        "--train_text", str(tmp_path / "train_text"),
+        "--valid_text", str(tmp_path / "valid_text"),
+        "--exp_dir", str(tmp_path / "lm"),
+        "--d_model", "32", "--attention_heads", "4",
+        "--linear_units", "64", "--num_blocks", "2",
+        "--max_epoch", "1", "--compute_dtype", "float32",
+    ])
+    rep = lm_calc_perplexity.main([
+        "--lm_exp", str(tmp_path / "lm"),
+        "--text", str(tmp_path / "valid_text"),
+        "--output", str(tmp_path / "ppl.json"),
+    ])
+    assert rep["perplexity"] > 1.0 and np.isfinite(rep["perplexity"])
+    assert rep["n_tokens"] > 0
+    assert (tmp_path / "ppl.json").exists()
