@@ -186,3 +186,89 @@ def test_end_detect_and_live_discard():
     # without it: the bonus-inflated live path reaches the cap and wins
     assert int(lens_no[0]) == len(primer) + max_steps + 1
     assert float(score_no[0]) > float(score_ed[0])
+
+
+def test_batched_rows_match_per_row_decoding(setup):
+    """With end detection off, batched dense rows decode independently:
+    beam_decode on a 2-row batch == two single-row calls."""
+    params, enc, ctc_logp, lm_params = setup
+    enc2 = jnp.concatenate([enc, enc * 0.7], axis=0)
+    ctc2 = jnp.concatenate([ctc_logp, ctc_logp], axis=0)
+    kw = dict(beam_size=3, primer=PRIMER, max_steps=6, eot=EOT,
+              ctc_weight=0.3, lm_params=lm_params, lm_cfg=LM_CFG,
+              lm_weight=0.3, pre_beam=6, use_end_detect=False)
+    tb, lb, sb = beam_decode(params, CFG, enc2, ctc_logp=ctc2, **kw)
+    for i in range(2):
+        t1, l1, s1 = beam_decode(
+            params, CFG, enc2[i : i + 1], ctc_logp=ctc2[i : i + 1], **kw
+        )
+        np.testing.assert_allclose(float(sb[i]), float(s1[0]), atol=2e-3)
+        assert (np.asarray(tb)[i, : int(lb[i])].tolist()
+                == np.asarray(t1)[0, : int(l1[0])].tolist())
+
+
+def test_composition_parity_with_ngram(setup):
+    """Four-scorer composition (decoder + ctc + lm + ngram) vs the ragged
+    oracle extended with the same hashed ngram scorer."""
+    from agacs_tpu.models.ngram import ngram_score_step, train_ngram
+
+    params, enc, ctc_logp, lm_params = setup
+    rng = np.random.RandomState(3)
+    seqs = [list(rng.choice(range(5, 25), size=rng.randint(3, 8)))
+            for _ in range(60)]
+    ngram = train_ngram(seqs, V, order=3, sos=PRIMER[0])
+
+    # ragged oracle with the ngram term added to `full`
+    w_att, lam, mu, nu, beta = 0.7, 0.3, 0.3, 0.4, 0.1
+    hyps = [{"toks": list(PRIMER), "score": 0.0,
+             "ctc": ctc_prefix_init(ctc_logp[:1])}]
+    ended = []
+    total = len(PRIMER) + 6 + 1
+    for step in range(6):
+        cands = []
+        for h in hyps:
+            toks = jnp.asarray([h["toks"]], jnp.int32)
+            logits, _ = whisper_decode(params, CFG, toks, enc[:1])
+            dlp = np.asarray(jax.nn.log_softmax(
+                logits[0, -1].astype(jnp.float32)))
+            full = w_att * dlp
+            full += mu * np.asarray(lm_score_step(lm_params, LM_CFG, toks)[0])
+            buf = np.full((1, total), EOT, np.int32)
+            buf[0, : len(h["toks"])] = h["toks"]
+            full += nu * np.asarray(ngram_score_step(
+                ngram, jnp.asarray(buf), jnp.int32(len(h["toks"]) - 1)))[0]
+            ids = np.argsort(-full)[:6]
+            psi, cand_state = ctc_prefix_score(
+                ctc_logp[:1], h["ctc"], jnp.asarray(ids)[None])
+            inc = np.asarray(psi[0]) - float(h["ctc"].score[0])
+            eos_inc = float(ctc_eos_score(h["ctc"])[0]) - float(h["ctc"].score[0])
+            for j, c in enumerate(ids):
+                term = eos_inc if c == EOT else inc[j]
+                s = h["score"] + full[c] + lam * term + beta
+                cands.append((float(s), h, int(c), cand_state, j))
+        cands.sort(key=lambda x: -x[0])
+        new_hyps = []
+        for s, h, c, cand_state, j in cands[:3]:
+            if c == EOT:
+                ended.append((s, h["toks"] + [EOT]))
+            else:
+                new_hyps.append({
+                    "toks": h["toks"] + [c], "score": s,
+                    "ctc": ctc_prefix_select(cand_state, jnp.asarray([j]))})
+        hyps = new_hyps
+        if not hyps:
+            break
+    for h in hyps:
+        ended.append((h["score"], h["toks"] + [EOT]))
+    ref_score, ref_toks = max(ended, key=lambda x: x[0])
+
+    tokens, lens, scores = beam_decode(
+        params, CFG, enc, beam_size=3, primer=PRIMER, max_steps=6, eot=EOT,
+        ctc_logp=ctc_logp, ctc_weight=lam,
+        lm_params=lm_params, lm_cfg=LM_CFG, lm_weight=mu,
+        ngram_lm=ngram, ngram_weight=nu,
+        length_bonus=beta, pre_beam=6, use_end_detect=False,
+    )
+    got = np.asarray(tokens)[0, : int(lens[0])].tolist()
+    assert got == ref_toks, (got, ref_toks)
+    np.testing.assert_allclose(float(scores[0]), ref_score, atol=3e-3)
