@@ -90,3 +90,66 @@ def test_speech2text_end_to_end():
         assert r.tokens[:5] == list(PRIMER)
         assert isinstance(r.text, str)
     assert s2t.rtf > 0 and s2t.inverse_rtf > 0
+
+
+def test_beam_with_pe_attention():
+    """Composed beam over the PE dual-QK decoder (second key cache in the
+    step path) produces finite, consistent hypotheses."""
+    import jax
+
+    from agacs_tpu.models.whisper import WhisperConfig, init_whisper_params, whisper_encode
+
+    cfg = WhisperConfig(
+        n_mels=80, n_audio_ctx=10, n_audio_state=96, n_audio_head=12,
+        n_audio_layer=1, n_vocab=60, n_text_ctx=16, n_text_state=96,
+        n_text_head=12, n_text_layer=1, pe_attention=True,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(2), cfg)
+    enc = whisper_encode(
+        params, cfg, jax.random.normal(jax.random.PRNGKey(3), (2, 20, 80))
+    )
+    tokens, lens, scores = beam_decode(
+        params, cfg, enc, beam_size=3, primer=(3, 4), max_steps=5, eot=2,
+    )
+    assert np.isfinite(np.asarray(scores)).all()
+    toks = np.asarray(tokens)
+    assert (toks[:, :2] == [3, 4]).all()
+    # beam1 == greedy on the PE path too
+    g_tokens, g_lens = greedy_decode(
+        params, cfg, enc, primer=(3, 4), max_steps=5, eot=2
+    )
+    b_tokens, b_lens, _ = beam_decode(
+        params, cfg, enc, beam_size=1, primer=(3, 4), max_steps=5, eot=2,
+    )
+    for i in range(2):
+        gn = int(g_lens[i])
+        np.testing.assert_array_equal(
+            np.asarray(g_tokens)[i, : gn - 1 if np.asarray(g_tokens)[i, gn-1] != 2 else gn],
+            np.asarray(b_tokens)[i, : gn - 1 if np.asarray(g_tokens)[i, gn-1] != 2 else gn],
+        )
+
+
+def test_beam_with_side_network():
+    """Composed beam over the ladder side-network decoder (side KV caches
+    + precomputed side cross K/V in the step path)."""
+    import jax
+
+    from agacs_tpu.models.whisper import (
+        SideNetworkConfig, WhisperConfig, init_whisper_params, whisper_encode,
+    )
+
+    cfg = WhisperConfig(
+        n_mels=80, n_audio_ctx=10, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=60, n_text_ctx=16, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+        side_network=SideNetworkConfig(n_dim=32, n_head=4, layers=(0, 1)),
+    )
+    params = init_whisper_params(jax.random.PRNGKey(4), cfg)
+    enc = whisper_encode(
+        params, cfg, jax.random.normal(jax.random.PRNGKey(5), (2, 20, 80))
+    )
+    tokens, lens, scores = beam_decode(
+        params, cfg, enc, beam_size=2, primer=(3, 4), max_steps=5, eot=2,
+    )
+    assert np.isfinite(np.asarray(scores)).all()
+    assert (np.asarray(lens) >= 3).all()
