@@ -26,7 +26,8 @@ for set in ${decode_sets}; do
   ${python} -m agacs_tpu.bin.decode \
     --config "${exp}/${variant}/config.yaml" \
     --params "${exp}/${variant}/valid.acc.ave.params.npz" \
-    --data_dir "${data}/${set}" --output_dir "${out}" --beam_size 1
+    --decode_config "${conf_dir}/decode_asr_whisper.yaml" \
+    --data_dir "${data}/${set}" --output_dir "${out}"
   ${python} -m agacs_tpu.bin.score \
     --ref "${out}/ref.trn" --hyp "${out}/hyp.trn" \
     --output_dir "${out}/score" --per_bucket
