@@ -189,8 +189,10 @@ def main(argv: list[str] | None = None) -> dict:
     # data
     train_ds = ASRDataset(args.train_dir)
     valid_ds = ASRDataset(args.valid_dir)
-    train_lens = {u: train_ds.num_samples(u) for u in train_ds.utt_ids}
-    valid_lens = {u: valid_ds.num_samples(u) for u in valid_ds.utt_ids}
+    from agacs_tpu.data.shapes import collect_num_samples
+
+    train_lens = collect_num_samples(train_ds)
+    valid_lens = collect_num_samples(valid_ds)
     valid_batches = num_elements_batches(valid_lens, tcfg.batch_bins)
     logging.info(
         "train: %d utts, valid: %d utts (%d batches)",

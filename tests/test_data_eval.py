@@ -150,3 +150,30 @@ def test_trn_roundtrip(tmp_path):
     back = read_trn(p)
     assert back["u1"] == "我 们 go"
     assert back["u2"] == "hello 你"
+
+
+def test_collect_num_samples_single_process(tmp_path):
+    """Shape collection matches direct probing (single-process path) and
+    prefers cached utt2num_samples entries."""
+    from agacs_tpu.data.dataset import ASRDataset
+    from agacs_tpu.data.io import write_scp, write_wav
+    from agacs_tpu.data.shapes import collect_num_samples
+
+    rng = np.random.RandomState(0)
+    wavs, texts = {}, {}
+    for i in range(4):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, (0.1 * rng.randn(4000 + 500 * i)).astype(np.float32))
+        wavs[f"u{i}"] = p
+        texts[f"u{i}"] = "hi"
+    write_scp(str(tmp_path / "wav.scp"), wavs)
+    write_scp(str(tmp_path / "text"), texts)
+    ds = ASRDataset(str(tmp_path), min_samples=0)
+    lens = collect_num_samples(ds)
+    assert lens == {f"u{i}": 4000 + 500 * i for i in range(4)}
+
+    # with a shape file, no probing is needed (values come from the file)
+    write_scp(str(tmp_path / "utt2num_samples"),
+              {f"u{i}": str(4000 + 500 * i) for i in range(4)})
+    ds2 = ASRDataset(str(tmp_path), min_samples=0)
+    assert collect_num_samples(ds2) == lens
