@@ -219,3 +219,41 @@ def test_average_checkpoints_cli(tmp_path):
     avg = load_pytree_like(out, t1)
     np.testing.assert_allclose(np.asarray(avg["a"]), 2.0)
     np.testing.assert_allclose(np.asarray(avg["b"]["c"]), 4.0)
+
+
+def test_dump_attention_cli(tmp_path):
+    """attention_map.md workflow CLI: per-utterance decoder self-attn maps
+    as npz + PNG heatmap grids."""
+    import glob
+
+    import numpy as np
+
+    from agacs_tpu.bin.dump_attention import main as dump_main
+    from agacs_tpu.data.io import write_scp, write_wav
+    from agacs_tpu.utils.config import dump_resolved
+
+    rng = np.random.RandomState(0)
+    wavs, texts = {}, {}
+    for i in range(2):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, (0.1 * rng.randn(8000)).astype(np.float32))
+        wavs[f"u{i}"] = p
+        texts[f"u{i}"] = "我们 go"
+    write_scp(str(tmp_path / "wav.scp"), wavs)
+    write_scp(str(tmp_path / "text"), texts)
+    dump_resolved(str(tmp_path / "config.yaml"), {
+        "encoder": "whisper",
+        "encoder_conf": {"whisper_model": "tiny", "use_specaug": False},
+        "model_conf": {},
+    })
+    dump_main([
+        "--config", str(tmp_path / "config.yaml"),
+        "--data_dir", str(tmp_path),
+        "--output_dir", str(tmp_path / "att"),
+        "--utts", "u0", "--plot", "--compute_dtype", "float32",
+    ])
+    npz = glob.glob(str(tmp_path / "att" / "*.npz"))
+    assert npz
+    d = np.load(npz[0])
+    assert d["maps"].ndim == 4  # (L, h, T, T)
+    assert glob.glob(str(tmp_path / "att" / "*.png"))
