@@ -103,6 +103,30 @@ def test_conformer_train_cli(tmp_path):
     assert dec["rtf"]["rtf"] > 0
     assert (tmp_path / "dec" / "hyp.trn").exists()
 
+    # decode again with LM shallow fusion from a trained LM experiment:
+    # the LM architecture must round-trip through its own config.yaml
+    from agacs_tpu.bin import lm_train
+
+    lm_train.main([
+        "--train_text", str(tmp_path / "train" / "text"),
+        "--valid_text", str(tmp_path / "valid" / "text"),
+        "--exp_dir", str(tmp_path / "lm"),
+        "--d_model", "32", "--attention_heads", "4",
+        "--linear_units", "64", "--num_blocks", "2",
+        "--max_epoch", "1", "--compute_dtype", "float32",
+    ])
+    dec_lm = decode.main([
+        "--config", str(tmp_path / "exp" / "config.yaml"),
+        "--params", str(tmp_path / "exp" / "valid.acc.ave.params.npz"),
+        "--data_dir", str(tmp_path / "valid"),
+        "--output_dir", str(tmp_path / "dec_lm"),
+        "--beam_size", "2", "--max_steps", "6",
+        "--ctc_weight", "0.3",
+        "--lm_exp", str(tmp_path / "lm"), "--lm_weight", "0.3",
+        "--compute_dtype", "float32",
+    ])
+    assert len(dec_lm["hyps"]) == 2
+
 
 def test_collapse_ctc():
     ids = np.array([[0, 3, 3, 0, 4, 4, 4, 0, 3, 0]])
