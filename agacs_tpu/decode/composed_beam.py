@@ -22,6 +22,10 @@ Faithful semantics (fixing round-1's finished-in-place dense beams):
   * CTC is a partial scorer with pre-beam pruning (pre_beam candidates by
     the full att+lm score, beam_search.py pre_beam_ratio), eot candidates
     take the CTC *final* prefix score;
+  * minlenratio is intentionally absent: the reference computes minlen
+    but never enforces it during search (beam_search.py:371 is used only
+    by a vestigial empty-nbest retry at :400-405, unreachable here since
+    the cap-append always yields an ended hypothesis);
   * the hyp primer (asr_inference.py:319-331) is forced token-by-token at
     zero score; it advances decoder and LM caches but NOT the CTC prefix
     state (deviation: the reference's CTCPrefixScore never folds primer
