@@ -5,9 +5,10 @@ SURVEY §7 design stance) so data dirs interop, without any Kaldi binaries
 (`tools/Makefile` clones Kaldi in the reference; here pure Python).
 
 Audio backends: PCM/float WAV via the stdlib (scipy-compatible), .npy
-float arrays, FLAC via the native codec (`native/flac.cpp`), and
+float arrays, FLAC via the native codec (`native/flac.cpp`),
 extended-kaldi-ark entries ('path:offset' — the reference's dump format,
-`asr.sh:529`, `espnet2/train/dataset.py:189`) via `data/kaldi_ark.py`.
+`asr.sh:529`, `espnet2/train/dataset.py:189`) via `data/kaldi_ark.py`,
+and NIST SPHERE via `data/sph.py` (the sph2pipe role, `tools/Makefile`).
 """
 
 from __future__ import annotations
@@ -61,6 +62,10 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         from agacs_tpu.data.flac import read_flac
 
         return read_flac(path)
+    if path.endswith(".sph"):
+        from agacs_tpu.data.sph import read_sph
+
+        return read_sph(path)
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -108,5 +113,9 @@ def wav_num_samples(path: str) -> int:
 
         with open(path, "rb") as f:
             return flac_info(f.read(65536))["total_samples"]
+    if path.endswith(".sph"):
+        from agacs_tpu.data.sph import sph_num_samples
+
+        return sph_num_samples(path)
     with wave.open(path, "rb") as w:
         return w.getnframes()

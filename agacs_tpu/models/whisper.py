@@ -85,6 +85,14 @@ class WhisperConfig:
     # attention internals: measured +16%/+12%/+6% over "full" at
     # B8x15s/B16x15s/B32x5s on v5e (docs/PERF.md round-2 table)
     remat: str | bool = "dots_nb"
+    # Unroll the layer loop instead of lax.scan for the teacher-forced
+    # paths. scan+remat stacks every saved residual into (L, ...) buffers
+    # via dynamic-update-slice and re-reads them with dynamic-slice —
+    # ~15 ms/step of pure data movement at B=8x15 s (xplane: the
+    # bitcast_dynamic-update-slice fusions). Unrolled, saved residuals
+    # stay as separate buffers and param reads are static slices. Costs
+    # compile time (~12x body count); scan remains the default.
+    unroll_layers: bool = False
 
     def part(self, which: str) -> "WhisperConfig":
         """Effective config for 'encoder' or 'decoder' blocks: resolves the
@@ -192,6 +200,19 @@ def _maybe_remat(fn, remat):
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         )
     return jax.checkpoint(fn)
+
+
+def _scan_blocks(body, x, blocks, unroll: bool):
+    """lax.scan over stacked layer params, or an unrolled Python loop with
+    identical (carry, stacked_ys) semantics (cfg.unroll_layers)."""
+    if not unroll:
+        return jax.lax.scan(body, x, blocks)
+    n = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    ys = []
+    for i in range(n):
+        x, y = body(x, jax.tree.map(lambda a: a[i], blocks))
+        ys.append(y)
+    return x, jax.tree.map(lambda *zs: jnp.stack(zs), *ys)
 
 
 def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
@@ -551,7 +572,7 @@ def whisper_encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Ar
         h = block_fn(carry, layer_params)
         return h, (h if side is not None else 0)
 
-    x, layer_outs = jax.lax.scan(body, x, enc["blocks"])
+    x, layer_outs = _scan_blocks(body, x, enc["blocks"], cfg.unroll_layers)
 
     out = layer_norm(x, enc["ln_post"])
 
@@ -649,7 +670,7 @@ def whisper_decode(
     def body(carry, layer_params):
         return block_fn(carry, layer_params)
 
-    x, layer_aux = jax.lax.scan(body, x, dec["blocks"])
+    x, layer_aux = _scan_blocks(body, x, dec["blocks"], cfg.unroll_layers)
 
     if cfg.side_network is not None:
         # the side ladder replaces the trunk output head
@@ -700,7 +721,7 @@ def _decoder_side_fwd(params, cfg, tokens, xa):
         )
         return h, h
 
-    _, layer_outs = jax.lax.scan(body, x, dec["blocks"])
+    _, layer_outs = _scan_blocks(body, x, dec["blocks"], cfg.unroll_layers)
 
     side_cfg = dataclasses.replace(
         cfg, adapter=False, pe_attention=False,
