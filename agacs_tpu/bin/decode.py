@@ -164,6 +164,63 @@ def _decode_conformer(args, task, params, ds):
                         "n_utts": len(utts)}
 
 
+def _decode_transducer(args, task, params, ds):
+    """Transducer family: batched jitted greedy (beam_size 1) or the
+    reference's default_beam_search per utterance (asr_inference.py:177-185
+    BeamSearchTransducer)."""
+    import time
+
+    from agacs_tpu.models import transducer_asr
+    from agacs_tpu.models.transducer import default_beam_search, greedy_search
+
+    cfg = task.cfg
+    enc_fn = jax.jit(lambda p, s, l: transducer_asr.encode(p, cfg, s, l))
+    greedy_fn = jax.jit(
+        lambda p, e, el: greedy_search(p, cfg.decoder, e, el)
+    )
+    blank = cfg.decoder.blank_id
+    hyps, refs = {}, {}
+    audio_sec = decode_sec = 0.0
+    utts = sorted(ds.utt_ids, key=ds.num_samples)
+    for i in range(0, len(utts), args.batch_size):
+        chunk = utts[i : i + args.batch_size]
+        items = [ds[u] for u in chunk]
+        s_max = bucket_length(max(len(it["speech"]) for it in items))
+        audio = np.zeros((len(items), s_max), np.float32)
+        lens = np.zeros((len(items),), np.int32)
+        for k_i, it in enumerate(items):
+            audio[k_i, : len(it["speech"])] = it["speech"]
+            lens[k_i] = len(it["speech"])
+        t0 = time.perf_counter()
+        enc, enc_lens = enc_fn(params, jnp.asarray(audio), jnp.asarray(lens))
+        if args.beam_size <= 1:
+            tokens, n_emit = greedy_fn(params["transducer"], enc, enc_lens)
+            tokens, n_emit = np.asarray(tokens), np.asarray(n_emit)
+            rows = [
+                [t for t in tokens[k, : n_emit[k]].tolist() if t != blank]
+                for k in range(len(items))
+            ]
+        else:
+            enc_np = np.asarray(enc)
+            rows = []
+            for k in range(len(items)):
+                nbest = default_beam_search(
+                    params["transducer"], cfg.decoder,
+                    enc_np[k, : int(enc_lens[k])], beam_size=args.beam_size,
+                )
+                rows.append(nbest[0][1])
+        decode_sec += time.perf_counter() - t0
+        audio_sec += float(lens.sum()) / 16000.0
+        for u, ids in zip(chunk, rows):
+            hyps[u] = ds.tokenizer.decode(ids)
+            refs[u] = ds.text[u]
+        logging.info("decoded %d/%d", min(i + args.batch_size, len(utts)), len(utts))
+    rtf = decode_sec / max(audio_sec, 1e-9)
+    return hyps, refs, {"rtf": rtf, "inverse_rtf": 1.0 / max(rtf, 1e-9),
+                        "audio_seconds": audio_sec, "decode_seconds": decode_sec,
+                        "n_utts": len(utts)}
+
+
 def _decode_whisper(args, task, params, ds):
     cfg = task.cfg
     lm_params = lm_cfg = None
@@ -239,6 +296,8 @@ def main(argv: list[str] | None = None) -> dict:
     ds = ASRDataset(args.data_dir, with_cs_labels=False)
     if task.kind == "whisper":
         hyps, refs, rtf_report = _decode_whisper(args, task, params, ds)
+    elif task.kind == "transducer":
+        hyps, refs, rtf_report = _decode_transducer(args, task, params, ds)
     else:
         hyps, refs, rtf_report = _decode_conformer(args, task, params, ds)
 

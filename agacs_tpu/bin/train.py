@@ -264,12 +264,16 @@ def main(argv: list[str] | None = None) -> dict:
                 with sub.measure_time("step_time"):
                     if is_train:
                         state, stats = step_fn(state, batch)
+                        preds = None
                     else:
-                        stats, (ys_hat, ys_out) = step_fn(state.params, batch)
+                        stats, preds = step_fn(state.params, batch)
                     stats = {k: float(v) for k, v in stats.items()}
-            if not is_train:
+            if not is_train and preds is not None:
                 # eval-epoch cer/wer from teacher-forced argmax
-                # (espnet_model.py:955-959 ErrorCalculator semantics)
+                # (espnet_model.py:955-959 ErrorCalculator semantics;
+                # preds is None for the transducer family, whose
+                # teacher-forced lattice has no per-position argmax)
+                ys_hat, ys_out = preds
                 cer, wer = err_calc(np.asarray(ys_hat), np.asarray(ys_out))
                 if cer is not None:
                     stats["cer"] = cer

@@ -159,7 +159,7 @@ class Task:
     dispatch (`tasks/asr.py:88-189`) reduced to the two families the
     reference's recipes use."""
 
-    kind: str  # "whisper" | "conformer"
+    kind: str  # "whisper" | "conformer" | "transducer"
     cfg: Any
     init_fn: Any
     loss_fn: Any
@@ -202,15 +202,49 @@ def task_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> Task:
         )
         normalize = d.get("normalize", "utterance_mvn")
         norm_conf = d.get("normalize_conf", {}) or {}
+        frontend = DefaultFrontendConfig(
+            n_fft=int(frontend_conf.get("n_fft", 512)),
+            hop_length=int(frontend_conf.get("hop_length", 128)),
+            n_mels=int(frontend_conf.get("n_mels", 80)),
+            normalize=normalize if normalize not in ("none",) else None,
+        )
+        if d.get("decoder") == "transducer":
+            # transducer family: decoder_conf + joint_net_conf select the
+            # RNNT branch (reference tasks/asr.py decoder choices +
+            # espnet_model.py:117 use_transducer_decoder)
+            from agacs_tpu.models import transducer_asr
+            from agacs_tpu.models.transducer import TransducerConfig
+
+            joint_conf = d.get("joint_net_conf", {}) or {}
+            tcfg = transducer_asr.TransducerASRConfig(
+                encoder=enc,
+                decoder=TransducerConfig(
+                    vocab_size=int(d.get("vocab_size", 51865)),
+                    rnn_type=dec_conf.get("rnn_type", "lstm"),
+                    num_layers=int(dec_conf.get("num_layers", 1)),
+                    hidden_size=int(dec_conf.get("hidden_size", 320)),
+                    dropout=float(dec_conf.get("dropout", 0.0)),
+                    dropout_embed=float(dec_conf.get("dropout_embed", 0.0)),
+                    joint_space_size=int(joint_conf.get("joint_space_size", 256)),
+                    joint_activation=joint_conf.get(
+                        "joint_activation_type", "tanh"
+                    ),
+                ),
+                frontend=frontend,
+                mvn_stats_path=norm_conf.get("stats_file"),
+                ctc_weight=float(model_conf.get("ctc_weight", 0.0)),
+                fastemit_lambda=float(model_conf.get("fastemit_lambda", 0.0)),
+                use_specaug=d.get("specaug") == "specaug",
+                specaug=SpecAugConfig.from_dict(d.get("specaug_conf")),
+            )
+            return Task(
+                "transducer", tcfg, transducer_asr.init_transducer_asr_params,
+                transducer_asr.forward,
+            )
         cfg = conformer_asr.ConformerASRConfig(
             encoder=enc,
             decoder=dec,
-            frontend=DefaultFrontendConfig(
-                n_fft=int(frontend_conf.get("n_fft", 512)),
-                hop_length=int(frontend_conf.get("hop_length", 128)),
-                n_mels=int(frontend_conf.get("n_mels", 80)),
-                normalize=normalize if normalize not in ("none",) else None,
-            ),
+            frontend=frontend,
             mvn_stats_path=norm_conf.get("stats_file"),
             ctc_weight=float(model_conf.get("ctc_weight", 0.3)),
             interctc_weight=float(model_conf.get("interctc_weight", 0.0)),

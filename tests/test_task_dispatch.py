@@ -281,3 +281,94 @@ def test_dump_attention_cli(tmp_path):
     d = np.load(npz[0])
     assert d["maps"].ndim == 4  # (L, h, T, T)
     assert glob.glob(str(tmp_path / "att" / "*.png"))
+
+
+TRANSDUCER_CONF = {
+    "encoder": "conformer",
+    "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                     "linear_units": 48, "num_blocks": 2,
+                     "cnn_module_kernel": 7},
+    "decoder": "transducer",
+    "decoder_conf": {"rnn_type": "lstm", "num_layers": 1, "hidden_size": 24},
+    "joint_net_conf": {"joint_space_size": 16},
+    "model_conf": {"ctc_weight": 0.2},
+    "vocab_size": 51865,
+    "optim": "adam", "optim_conf": {"lr": 1.0e-3},
+    "scheduler": "warmuplr", "scheduler_conf": {"warmup_steps": 5},
+    "batch_bins": 100000, "max_epoch": 1, "keep_nbest_models": 1,
+    # no acc stat on the transducer branch; select on valid loss
+    "best_model_criterion": [["valid", "loss", "min"]],
+}
+
+
+def test_transducer_task_dispatch_and_step():
+    task = task_from_dict(TRANSDUCER_CONF, compute_dtype=jnp.float32)
+    assert task.kind == "transducer"
+    assert task.cfg.decoder.hidden_size == 24
+    assert task.cfg.ctc_weight == 0.2
+
+    params = task.init_fn(jax.random.PRNGKey(0), task.cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 8000).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([8000, 6000], jnp.int32),
+        "text": jnp.asarray([[5, 6, 7, -1], [8, 9, -1, -1]], jnp.int32),
+    }
+    loss, stats = task.loss_fn(params, task.cfg, batch, train=False, rng=None)
+    assert np.isfinite(float(loss))
+    assert "loss_transducer" in stats and "loss_ctc" in stats
+
+
+def test_transducer_train_and_decode_cli(tmp_path):
+    """Transducer family end-to-end: bin/train 1 epoch on a toy corpus,
+    then bin/decode with batched greedy and with the default beam."""
+    from agacs_tpu.bin import decode, train
+    from agacs_tpu.data.io import write_scp, write_wav
+
+    rng = np.random.RandomState(0)
+    for split in ("train", "valid"):
+        d = tmp_path / split
+        wavs, texts = {}, {}
+        for u in ("a", "b"):
+            p = str(d / f"{u}.wav")
+            write_wav(p, rng.randn(8000).astype(np.float32) * 0.1)
+            wavs[u] = p
+            texts[u] = "我们 ok"
+        write_scp(str(d / "wav.scp"), wavs)
+        write_scp(str(d / "text"), texts)
+    conf = tmp_path / "conf.yaml"
+    with open(conf, "w") as f:
+        yaml.safe_dump(TRANSDUCER_CONF, f)
+
+    out = train.main([
+        "--config", str(conf),
+        "--train_dir", str(tmp_path / "train"),
+        "--valid_dir", str(tmp_path / "valid"),
+        "--exp_dir", str(tmp_path / "exp"),
+        "--compute_dtype", "float32",
+    ])
+    assert np.isfinite(out["history"][1]["train"]["loss"])
+    assert "loss_transducer" in out["history"][1]["train"]
+    # transducer eval has no teacher-forced argmax: no cer/wer stats
+    assert "cer" not in out["history"][1]["valid"]
+
+    ave = str(tmp_path / "exp" / "valid.loss.ave.params.npz")
+    dec = decode.main([
+        "--config", str(tmp_path / "exp" / "config.yaml"),
+        "--params", ave,
+        "--data_dir", str(tmp_path / "valid"),
+        "--output_dir", str(tmp_path / "dec"),
+        "--beam_size", "1",
+        "--compute_dtype", "float32",
+    ])
+    assert len(dec["hyps"]) == 2 and dec["rtf"]["rtf"] > 0
+
+    dec_beam = decode.main([
+        "--config", str(tmp_path / "exp" / "config.yaml"),
+        "--params", ave,
+        "--data_dir", str(tmp_path / "valid"),
+        "--output_dir", str(tmp_path / "dec_beam"),
+        "--beam_size", "2",
+        "--compute_dtype", "float32",
+    ])
+    assert len(dec_beam["hyps"]) == 2
