@@ -143,6 +143,14 @@ def fix_data_dir(d: str) -> int:
     keep = set(files[utt_names[0]])
     for name in utt_names[1:]:
         keep &= set(files[name])
+    if "segments" in files and "wav.scp" in files:
+        # drop utterances whose recording is missing (fix_data_dir.sh
+        # filters segments against wav.scp before intersecting)
+        recs = set(files["wav.scp"])
+        keep = {
+            u for u in keep
+            if files["segments"][u].split()[0] in recs
+        }
     for name in utt_names:
         kept = {k: files[name][k] for k in sorted(keep)}
         write_scp(os.path.join(d, name), kept)

@@ -67,12 +67,13 @@ def test_validate_segments(tmp_path):
     problems = datadir.validate_data_dir(str(d))
     assert any("unknown recording" in p for p in problems)
 
-    datadir.fix_data_dir(str(d))
-    # fix cannot invent recX; dropping it is out of scope for intersection
-    # (kaldi's fix keeps segments/text intersection; recX line remains a
-    # validation error by design)
+    kept = datadir.fix_data_dir(str(d))
+    # fix drops utterances whose recording is missing (kaldi filters
+    # segments against wav.scp before intersecting)
+    assert kept == 2
     segs2 = read_scp(str(d / "segments"))
-    assert set(segs2) == {"utt1", "utt2", "utt3"}
+    assert set(segs2) == {"utt1", "utt2"}
+    assert datadir.validate_data_dir(str(d)) == []
 
 
 def test_split_speaker_disjoint(tmp_path):
