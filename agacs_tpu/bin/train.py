@@ -242,6 +242,24 @@ def main(argv: list[str] | None = None) -> dict:
     from agacs_tpu.train.error_calculator import ErrorCalculator
 
     err_calc = ErrorCalculator(train_ds.tokenizer.id_to_token)
+
+    trans_greedy = None
+    if task.kind == "transducer":
+        # eval-epoch CER/WER via batched greedy decoding — the
+        # ErrorCalculatorTransducer role (espnet_model.py:131-147,
+        # espnet2/asr/transducer/error_calculator.py)
+        from agacs_tpu.models import transducer_asr
+        from agacs_tpu.models.transducer import greedy_search
+
+        @jax.jit
+        def trans_greedy(p, batch):
+            enc, enc_lens = transducer_asr.encode(
+                p, cfg, batch["speech"], batch["speech_lengths"]
+            )
+            return greedy_search(
+                p["transducer"], cfg.decoder, enc, enc_lens,
+                max_symbols=batch["text"].shape[1] + 8,
+            )
     reporter = Reporter()
     reporter.history = history
 
@@ -275,6 +293,19 @@ def main(argv: list[str] | None = None) -> dict:
                 # teacher-forced lattice has no per-position argmax)
                 ys_hat, ys_out = preds
                 cer, wer = err_calc(np.asarray(ys_hat), np.asarray(ys_out))
+                if cer is not None:
+                    stats["cer"] = cer
+                if wer is not None:
+                    stats["wer"] = wer
+            elif not is_train and trans_greedy is not None:
+                # transducer: cer/wer from batched greedy decoding
+                toks, n_emit = trans_greedy(state.params, batch)
+                toks, n_emit = np.asarray(toks), np.asarray(n_emit)
+                hyp_ids = [
+                    row[:k].tolist() for row, k in zip(toks, n_emit)
+                ]
+                ref_ids = list(np.asarray(batch["text"]))
+                cer, wer = err_calc.ragged(hyp_ids, ref_ids)
                 if cer is not None:
                     stats["cer"] = cer
                 if wer is not None:

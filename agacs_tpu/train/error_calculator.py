@@ -69,6 +69,26 @@ class ErrorCalculator:
     ) -> tuple[float | None, float | None]:
         """(B, T) argmax predictions + (B, T) ignore-padded refs -> (cer, wer)."""
         seqs_hat, seqs_true = self._convert(ys_hat, ys_pad)
+        return self._score(seqs_hat, seqs_true)
+
+    def ragged(
+        self, hyps_ids: list[list[int]], refs_ids: list[list[int]]
+    ) -> tuple[float | None, float | None]:
+        """CER/WER over ragged hypothesis/reference id lists — the
+        ErrorCalculatorTransducer form (espnet2/asr/transducer/
+        error_calculator.py): full decoded hypotheses, no teacher-forced
+        truncation."""
+        seqs_hat, seqs_true = [], []
+        for hyp, ref in zip(hyps_ids, refs_ids):
+            hat = "".join(self.id_to_token(int(i)) for i in hyp)
+            true = "".join(
+                self.id_to_token(int(i)) for i in ref if int(i) != self.ignore_id
+            )
+            seqs_hat.append(hat.replace(self.space, " ").replace(self.blank, ""))
+            seqs_true.append(true.replace(self.space, " "))
+        return self._score(seqs_hat, seqs_true)
+
+    def _score(self, seqs_hat, seqs_true):
         char_ed = char_len = word_ed = word_len = 0
         for hat, true in zip(seqs_hat, seqs_true):
             char_ed += edit_distance(hat.replace(" ", ""), true.replace(" ", ""))

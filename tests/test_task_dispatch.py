@@ -349,8 +349,10 @@ def test_transducer_train_and_decode_cli(tmp_path):
     ])
     assert np.isfinite(out["history"][1]["train"]["loss"])
     assert "loss_transducer" in out["history"][1]["train"]
-    # transducer eval has no teacher-forced argmax: no cer/wer stats
-    assert "cer" not in out["history"][1]["valid"]
+    # transducer eval cer/wer comes from batched greedy decoding
+    # (ErrorCalculatorTransducer role), not teacher-forced argmax
+    assert "cer" in out["history"][1]["valid"]
+    assert out["history"][1]["valid"]["cer"] >= 0.0
 
     ave = str(tmp_path / "exp" / "valid.loss.ave.params.npz")
     dec = decode.main([

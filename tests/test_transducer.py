@@ -265,3 +265,52 @@ def test_transducer_asr_train_smoke():
     # the blank embedding row must receive zero gradient (padding_idx)
     g_embed = grads["transducer"]["embed"]
     assert float(jnp.max(jnp.abs(g_embed[cfg.decoder.blank_id]))) == 0.0
+
+
+def test_transducer_train_step_dp_sharded():
+    """The transducer family trains under a dp-sharded mesh (GSPMD
+    inserts the gradient reductions; reference DDP trainer.py:229-243)."""
+    from agacs_tpu.models.conformer import ConformerConfig
+    from agacs_tpu.models.transducer_asr import (
+        TransducerASRConfig,
+        forward,
+        init_transducer_asr_params,
+    )
+    from agacs_tpu.ops.frontend_default import DefaultFrontendConfig
+    from agacs_tpu.parallel import make_mesh, shard_batch, shard_params
+    from agacs_tpu.train.optim import OptimConfig
+    from agacs_tpu.train.trainer import (
+        build_tx,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = TransducerASRConfig(
+        encoder=ConformerConfig(
+            input_size=20, output_size=32, attention_heads=2, linear_units=48,
+            num_blocks=2, cnn_module_kernel=7,
+        ),
+        decoder=TransducerConfig(vocab_size=50, hidden_size=24,
+                                 joint_space_size=16),
+        frontend=DefaultFrontendConfig(n_mels=20, n_fft=128, hop_length=64),
+        use_specaug=False,
+    )
+    params = init_transducer_asr_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_data=8)
+    params = shard_params(mesh, params)
+    tx, _ = build_tx(params, OptimConfig(warmup_steps=4))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, loss_fn=forward)
+
+    rng = np.random.RandomState(0)
+    batch = shard_batch(mesh, {
+        "speech": jnp.asarray(rng.randn(8, 3200).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.full((8,), 3200, jnp.int32),
+        "text": jnp.asarray(rng.randint(1, 50, (8, 5)), jnp.int32),
+    })
+    losses = []
+    for _ in range(3):
+        state, stats = step(state, batch)
+        losses.append(float(stats["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
