@@ -211,6 +211,12 @@ def main(argv: list[str] | None = None) -> dict:
     params = shard_params(mesh, params, tensor_parallel=args.tensor_parallel > 1)
 
     tx, mask = build_tx(params, optim_cfg, freeze_preset=freeze)
+    if freeze and dtype == jnp.bfloat16:
+        # frozen trunk stored bf16: same rounding as the per-use cast,
+        # half the HBM reads (trainer.cast_frozen_params)
+        from agacs_tpu.train.trainer import cast_frozen_params
+
+        params = cast_frozen_params(params, mask)
     n_train, n_total = count_trainable(params, mask)
     logging.info(
         "freeze_param=%s: %.2fM / %.2fM trainable",

@@ -67,6 +67,24 @@ def build_tx(
     return tx, mask
 
 
+def cast_frozen_params(params: Any, mask: Any, dtype=jnp.bfloat16) -> Any:
+    """Store frozen float32 leaves in `dtype` (bf16).
+
+    Under a freeze preset the trunk is cast to the compute dtype at every
+    use anyway (model code does `.astype(x.dtype)`), so bf16 STORAGE is
+    the same rounding — but it halves the frozen weights' HBM reads each
+    step and removes the cast work. Measured −4% step time for
+    whisper-small adapters at B=8×15 s (docs/PERF.md). Trainable leaves
+    keep fp32 masters (the optimizer state is built per-leaf by
+    optax.masked, so frozen leaves have no moment buffers either way).
+    Only meaningful when compute_dtype is bf16; no-op on non-f32 leaves.
+    """
+    return jax.tree.map(
+        lambda p, m: p if m or p.dtype != jnp.float32 else p.astype(dtype),
+        params, mask,
+    )
+
+
 def make_train_step(
     cfg: ASRModelConfig,
     tx: optax.GradientTransformation,

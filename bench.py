@@ -116,6 +116,9 @@ def main():
         tx, mask = build_tx(
             params, OptimConfig(warmup_steps=500), freeze_preset="adapter"
         )
+        from agacs_tpu.train.trainer import cast_frozen_params
+
+        params = cast_frozen_params(params, mask)  # bf16 frozen trunk
         step = make_train_step(cfg, tx, trainable_mask=mask, donate=False)
         batch = _make_batch(batch_size, seconds)
         state = create_train_state(params, tx, jax.random.PRNGKey(1))

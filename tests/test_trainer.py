@@ -268,3 +268,47 @@ def test_tp_sharding_applies_to_production_dims():
     w = enc["mlp"]["fc1"]["w"]
     assert len({s.device for s in w.addressable_shards}) == 8
     assert w.addressable_shards[0].data.shape[-1] == w.shape[-1] // 2
+
+
+def test_cast_frozen_params_bf16_training(tok):
+    """Frozen trunk stored bf16 (cast_frozen_params): same per-use
+    rounding as fp32 storage under bf16 compute, frozen leaves stay
+    untouched by training, trainable masters remain fp32."""
+    from agacs_tpu.train.trainer import cast_frozen_params
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, whisper=dataclasses.replace(cfg.whisper, compute_dtype=jnp.bfloat16)
+    )
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    tx, mask = build_tx(params, OptimConfig(warmup_steps=4), freeze_preset="adapter")
+    cast = cast_frozen_params(params, mask)
+
+    # dtypes: frozen f32 -> bf16, trainable unchanged
+    for (path, leaf), (_, m) in zip(
+        jax.tree_util.tree_flatten_with_path(cast)[0],
+        jax.tree_util.tree_flatten_with_path(mask)[0],
+    ):
+        if m:
+            assert leaf.dtype == jnp.float32, path
+        elif leaf.dtype != jnp.bfloat16:
+            assert leaf.dtype not in (jnp.float32,), path
+
+    # loss identical to fp32 storage at step 1 (per-use cast == storage cast)
+    batch = _batch(tok, b=4)
+    l_fp32 = float(forward(params, cfg, batch, train=False, rng=None)[0])
+    l_bf16 = float(forward(cast, cfg, batch, train=False, rng=None)[0])
+    assert abs(l_fp32 - l_bf16) < 1e-3 * max(1.0, abs(l_fp32)), (l_fp32, l_bf16)
+
+    state = create_train_state(cast, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, trainable_mask=mask)
+    frozen_before = np.asarray(state.params["decoder"]["token_emb"])
+    losses = []
+    for _ in range(3):
+        state, stats = step(state, batch)
+        losses.append(float(stats["loss"]))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder"]["token_emb"]), frozen_before
+    )
+    assert state.params["decoder"]["token_emb"].dtype == jnp.bfloat16

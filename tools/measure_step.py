@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--remat", default="dots_nb")
     ap.add_argument("--unroll", action="store_true")
     ap.add_argument("--donate", action="store_true")
+    ap.add_argument("--fp32_frozen", action="store_true",
+                    help="keep frozen trunk in fp32 (default: bf16 storage)")
     args = ap.parse_args()
 
     from agacs_tpu.utils.runtime import setup as runtime_setup
@@ -48,6 +50,10 @@ def main():
     )
     params = init_asr_params(jax.random.PRNGKey(0), cfg)
     tx, mask = build_tx(params, OptimConfig(warmup_steps=500), freeze_preset="adapter")
+    if not args.fp32_frozen:
+        from agacs_tpu.train.trainer import cast_frozen_params
+
+        params = cast_frozen_params(params, mask)
     step = make_train_step(cfg, tx, trainable_mask=mask, donate=args.donate)
     batch = _make_batch(args.batch, args.seconds)
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
