@@ -214,10 +214,16 @@ def greedy_search(
     enc_out: jax.Array,
     enc_lens: jax.Array,
     max_symbols: int | None = None,
+    advance_on_emit: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Batched greedy transducer decoding, one jitted while_loop
-    (beam_search_transducer.py:221-253 semantics: at each frame emit the
-    argmax symbol and stay on the frame, or advance on blank).
+    """Batched greedy transducer decoding, one jitted while_loop.
+
+    Default semantics are the standard (Graves) greedy: emit the argmax
+    symbol and STAY on the frame until blank wins, so several symbols can
+    come from one frame. The reference's greedy_search
+    (beam_search_transducer.py:221-253) instead advances to the next
+    frame after EVERY prediction (at most one symbol per frame) —
+    advance_on_emit=True reproduces that exactly.
 
     Returns (tokens (B, max_symbols) blank-padded, n_emitted (B,)).
     A per-batch fuel of T + max_symbols bounds the loop; max_symbols
@@ -251,7 +257,10 @@ def greedy_search(
             jnp.where(emit, best, s["tokens"][jnp.arange(bsz), s["n"]])
         )
         n = s["n"] + emit.astype(jnp.int32)
-        t = s["t"] + jnp.where(active & ~emit, 1, 0).astype(jnp.int32)
+        if advance_on_emit:
+            t = s["t"] + active.astype(jnp.int32)
+        else:
+            t = s["t"] + jnp.where(active & ~emit, 1, 0).astype(jnp.int32)
         return {"t": t, "n": n, "tokens": tokens, "dec_out": dec_out,
                 "state": state, "fuel": s["fuel"] + 1}
 

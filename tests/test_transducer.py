@@ -314,3 +314,38 @@ def test_transducer_train_step_dp_sharded():
         losses.append(float(stats["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_greedy_advance_on_emit_reference_semantics():
+    """advance_on_emit=True reproduces the reference's one-symbol-per-frame
+    greedy (beam_search_transducer.py:221-253): emitted count can never
+    exceed the frame count, and a python re-implementation of the
+    reference loop gives identical output."""
+    rng = np.random.RandomState(2)
+    cfg = TransducerConfig(vocab_size=6, hidden_size=8, joint_space_size=8)
+    params = init_transducer_params(jax.random.PRNGKey(5), cfg, encoder_size=4)
+    enc = jnp.asarray(rng.randn(2, 9, 4), jnp.float32)
+    enc_lens = jnp.asarray([9, 6])
+
+    tokens, n = greedy_search(
+        params, cfg, enc, enc_lens, max_symbols=12, advance_on_emit=True
+    )
+    tokens, n = np.asarray(tokens), np.asarray(n)
+    assert (n <= np.asarray(enc_lens)).all()
+
+    # literal reference loop: one joint per frame, advance every frame
+    for b in range(2):
+        state = init_decoder_state(cfg, 1)
+        dec, state = transducer_decoder_step(
+            params, cfg, jnp.asarray([cfg.blank_id], jnp.int32), state
+        )
+        out = []
+        for t in range(int(enc_lens[b])):
+            logits = joint(params, cfg, enc[b, t][None], dec)
+            best = int(jnp.argmax(logits, axis=-1)[0])
+            if best != cfg.blank_id:
+                out.append(best)
+                dec, state = transducer_decoder_step(
+                    params, cfg, jnp.asarray([best], jnp.int32), state
+                )
+        assert tokens[b, : n[b]].tolist() == out, (b, tokens[b], out)
