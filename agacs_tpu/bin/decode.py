@@ -59,6 +59,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="ngram npz from bin/ngram_train (whisper family)")
     p.add_argument("--ngram_weight", type=float, default=0.3)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--transducer_search", default="default",
+                   choices=("default", "tsd"),
+                   help="beam>1 transducer search: 'default' = the "
+                        "reference's default_beam_search (per-utterance, "
+                        "host-side), 'tsd' = batched jitted "
+                        "time-synchronous beam (decode/transducer_tsd.py)")
     return p
 
 
@@ -94,9 +100,39 @@ def _load_lm_config(lm_exp: str):
     return TransformerLMConfig(compute_dtype=jnp.float32, **conf)
 
 
-def _decode_conformer(args, task, params, ds):
+def _chunked_decode(args, ds, decode_chunk):
+    """Shared batched-decode driver: length-sorted chunks, 1-second
+    bucketed padding (closed jit shape set), in-process RTF accounting.
+    `decode_chunk(audio, lens) -> list[token ids]` does the model work."""
     import time
 
+    hyps, refs = {}, {}
+    audio_sec = decode_sec = 0.0
+    utts = sorted(ds.utt_ids, key=ds.num_samples)
+    for i in range(0, len(utts), args.batch_size):
+        chunk = utts[i : i + args.batch_size]
+        items = [ds[u] for u in chunk]
+        s_max = bucket_length(max(len(it["speech"]) for it in items))
+        audio = np.zeros((len(items), s_max), np.float32)
+        lens = np.zeros((len(items),), np.int32)
+        for k_i, it in enumerate(items):
+            audio[k_i, : len(it["speech"])] = it["speech"]
+            lens[k_i] = len(it["speech"])
+        t0 = time.perf_counter()
+        rows = decode_chunk(jnp.asarray(audio), jnp.asarray(lens))
+        decode_sec += time.perf_counter() - t0
+        audio_sec += float(lens.sum()) / 16000.0
+        for u, ids in zip(chunk, rows):
+            hyps[u] = ds.tokenizer.decode(ids)
+            refs[u] = ds.text[u]
+        logging.info("decoded %d/%d", min(i + args.batch_size, len(utts)), len(utts))
+    rtf = decode_sec / max(audio_sec, 1e-9)
+    return hyps, refs, {"rtf": rtf, "inverse_rtf": 1.0 / max(rtf, 1e-9),
+                        "audio_seconds": audio_sec, "decode_seconds": decode_sec,
+                        "n_utts": len(utts)}
+
+
+def _decode_conformer(args, task, params, ds):
     from agacs_tpu.decode.joint_beam import joint_beam_decode
     from agacs_tpu.models import conformer_asr
 
@@ -112,22 +148,9 @@ def _decode_conformer(args, task, params, ds):
         )
 
     enc_fn = jax.jit(lambda p, s, l: conformer_asr.encode(p, cfg, s, l))
-    hyps, refs = {}, {}
-    audio_sec = decode_sec = 0.0
-    utts = sorted(ds.utt_ids, key=ds.num_samples)
-    for i in range(0, len(utts), args.batch_size):
-        chunk = utts[i : i + args.batch_size]
-        items = [ds[u] for u in chunk]
-        # bucket the padded length (1 s grid): a closed jit shape set
-        # instead of one compile per distinct chunk max
-        s_max = bucket_length(max(len(it["speech"]) for it in items))
-        audio = np.zeros((len(items), s_max), np.float32)
-        lens = np.zeros((len(items),), np.int32)
-        for k_i, it in enumerate(items):
-            audio[k_i, : len(it["speech"])] = it["speech"]
-            lens[k_i] = len(it["speech"])
-        t0 = time.perf_counter()
-        enc, enc_lens = enc_fn(params, jnp.asarray(audio), jnp.asarray(lens))
+
+    def decode_chunk(audio, lens):
+        enc, enc_lens = enc_fn(params, audio, lens)
         ctc_logp = None
         if args.ctc_weight > 0 and "ctc" in params:
             logits = (
@@ -151,25 +174,18 @@ def _decode_conformer(args, task, params, ds):
             length_bonus=args.length_bonus,
         )
         tokens, lens_out = np.asarray(tokens), np.asarray(lens_out)
-        decode_sec += time.perf_counter() - t0
-        audio_sec += float(lens.sum()) / 16000.0
-        for u, row, n in zip(chunk, tokens, lens_out):
-            ids = [t for t in row[1:n].tolist() if t not in (cfg.sos, cfg.eos)]
-            hyps[u] = ds.tokenizer.decode(ids)
-            refs[u] = ds.text[u]
-        logging.info("decoded %d/%d", min(i + args.batch_size, len(utts)), len(utts))
-    rtf = decode_sec / max(audio_sec, 1e-9)
-    return hyps, refs, {"rtf": rtf, "inverse_rtf": 1.0 / max(rtf, 1e-9),
-                        "audio_seconds": audio_sec, "decode_seconds": decode_sec,
-                        "n_utts": len(utts)}
+        return [
+            [t for t in row[1:n].tolist() if t not in (cfg.sos, cfg.eos)]
+            for row, n in zip(tokens, lens_out)
+        ]
+
+    return _chunked_decode(args, ds, decode_chunk)
 
 
 def _decode_transducer(args, task, params, ds):
     """Transducer family: batched jitted greedy (beam_size 1) or the
     reference's default_beam_search per utterance (asr_inference.py:177-185
     BeamSearchTransducer)."""
-    import time
-
     from agacs_tpu.models import transducer_asr
     from agacs_tpu.models.transducer import default_beam_search, greedy_search
 
@@ -179,46 +195,39 @@ def _decode_transducer(args, task, params, ds):
         lambda p, e, el: greedy_search(p, cfg.decoder, e, el)
     )
     blank = cfg.decoder.blank_id
-    hyps, refs = {}, {}
-    audio_sec = decode_sec = 0.0
-    utts = sorted(ds.utt_ids, key=ds.num_samples)
-    for i in range(0, len(utts), args.batch_size):
-        chunk = utts[i : i + args.batch_size]
-        items = [ds[u] for u in chunk]
-        s_max = bucket_length(max(len(it["speech"]) for it in items))
-        audio = np.zeros((len(items), s_max), np.float32)
-        lens = np.zeros((len(items),), np.int32)
-        for k_i, it in enumerate(items):
-            audio[k_i, : len(it["speech"])] = it["speech"]
-            lens[k_i] = len(it["speech"])
-        t0 = time.perf_counter()
-        enc, enc_lens = enc_fn(params, jnp.asarray(audio), jnp.asarray(lens))
+
+    def decode_chunk(audio, lens):
+        enc, enc_lens = enc_fn(params, audio, lens)
         if args.beam_size <= 1:
             tokens, n_emit = greedy_fn(params["transducer"], enc, enc_lens)
             tokens, n_emit = np.asarray(tokens), np.asarray(n_emit)
-            rows = [
+            return [
                 [t for t in tokens[k, : n_emit[k]].tolist() if t != blank]
-                for k in range(len(items))
+                for k in range(tokens.shape[0])
             ]
-        else:
-            enc_np = np.asarray(enc)
-            rows = []
-            for k in range(len(items)):
-                nbest = default_beam_search(
-                    params["transducer"], cfg.decoder,
-                    enc_np[k, : int(enc_lens[k])], beam_size=args.beam_size,
-                )
-                rows.append(nbest[0][1])
-        decode_sec += time.perf_counter() - t0
-        audio_sec += float(lens.sum()) / 16000.0
-        for u, ids in zip(chunk, rows):
-            hyps[u] = ds.tokenizer.decode(ids)
-            refs[u] = ds.text[u]
-        logging.info("decoded %d/%d", min(i + args.batch_size, len(utts)), len(utts))
-    rtf = decode_sec / max(audio_sec, 1e-9)
-    return hyps, refs, {"rtf": rtf, "inverse_rtf": 1.0 / max(rtf, 1e-9),
-                        "audio_seconds": audio_sec, "decode_seconds": decode_sec,
-                        "n_utts": len(utts)}
+        if args.transducer_search == "tsd":
+            from agacs_tpu.decode.transducer_tsd import tsd_beam_search
+
+            tokens, n, _ = tsd_beam_search(
+                params["transducer"], cfg.decoder, enc, enc_lens,
+                beam=args.beam_size,
+            )
+            tokens, n = np.asarray(tokens), np.asarray(n)
+            return [
+                [t for t in tokens[k, 0, : n[k, 0]].tolist() if t != blank]
+                for k in range(tokens.shape[0])
+            ]
+        enc_np = np.asarray(enc)
+        rows = []
+        for k in range(enc_np.shape[0]):
+            nbest = default_beam_search(
+                params["transducer"], cfg.decoder,
+                enc_np[k, : int(enc_lens[k])], beam_size=args.beam_size,
+            )
+            rows.append(nbest[0][1])
+        return rows
+
+    return _chunked_decode(args, ds, decode_chunk)
 
 
 def _decode_whisper(args, task, params, ds):

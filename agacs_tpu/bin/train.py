@@ -249,22 +249,18 @@ def main(argv: list[str] | None = None) -> dict:
 
     err_calc = ErrorCalculator(train_ds.tokenizer.id_to_token)
 
-    trans_greedy = None
-    if task.kind == "transducer":
-        # eval-epoch CER/WER via batched greedy decoding — the
-        # ErrorCalculatorTransducer role (espnet_model.py:131-147,
+    is_transducer = task.kind == "transducer"
+    if is_transducer:
+        # fused eval: ONE encoder pass feeds both the losses and the
+        # batched greedy search for CER/WER — the ErrorCalculatorTransducer
+        # role (espnet_model.py:131-147,
         # espnet2/asr/transducer/error_calculator.py)
         from agacs_tpu.models import transducer_asr
-        from agacs_tpu.models.transducer import greedy_search
 
         @jax.jit
-        def trans_greedy(p, batch):
-            enc, enc_lens = transducer_asr.encode(
-                p, cfg, batch["speech"], batch["speech_lengths"]
-            )
-            return greedy_search(
-                p["transducer"], cfg.decoder, enc, enc_lens,
-                max_symbols=batch["text"].shape[1] + 8,
+        def eval_step(p, batch):  # noqa: F811
+            return transducer_asr.eval_step_with_greedy(
+                p, cfg, batch, max_symbols=batch["text"].shape[1] + 8
             )
     reporter = Reporter()
     reporter.history = history
@@ -293,25 +289,18 @@ def main(argv: list[str] | None = None) -> dict:
                         stats, preds = step_fn(state.params, batch)
                     stats = {k: float(v) for k, v in stats.items()}
             if not is_train and preds is not None:
-                # eval-epoch cer/wer from teacher-forced argmax
-                # (espnet_model.py:955-959 ErrorCalculator semantics;
-                # preds is None for the transducer family, whose
-                # teacher-forced lattice has no per-position argmax)
-                ys_hat, ys_out = preds
-                cer, wer = err_calc(np.asarray(ys_hat), np.asarray(ys_out))
-                if cer is not None:
-                    stats["cer"] = cer
-                if wer is not None:
-                    stats["wer"] = wer
-            elif not is_train and trans_greedy is not None:
-                # transducer: cer/wer from batched greedy decoding
-                toks, n_emit = trans_greedy(state.params, batch)
-                toks, n_emit = np.asarray(toks), np.asarray(n_emit)
-                hyp_ids = [
-                    row[:k].tolist() for row, k in zip(toks, n_emit)
-                ]
-                ref_ids = list(np.asarray(batch["text"]))
-                cer, wer = err_calc.ragged(hyp_ids, ref_ids)
+                if is_transducer:
+                    # preds = greedy (tokens, n_emitted): ragged CER/WER
+                    toks, n_emit = np.asarray(preds[0]), np.asarray(preds[1])
+                    hyp_ids = [row[:k].tolist() for row, k in zip(toks, n_emit)]
+                    cer, wer = err_calc.ragged(
+                        hyp_ids, list(np.asarray(batch["text"]))
+                    )
+                else:
+                    # eval-epoch cer/wer from teacher-forced argmax
+                    # (espnet_model.py:955-959 ErrorCalculator semantics)
+                    ys_hat, ys_out = preds
+                    cer, wer = err_calc(np.asarray(ys_hat), np.asarray(ys_out))
                 if cer is not None:
                     stats["cer"] = cer
                 if wer is not None:

@@ -197,6 +197,15 @@ def split_data_dir(d: str, n: int, out_root: str | None = None) -> list[str]:
         raise ValueError(f"cannot split {len(utts)} utterances into {n} shards")
     out_root = out_root or os.path.join(d, f"split{n}")
     if os.path.isdir(out_root):
+        # only ever delete something that looks like a previous split
+        # output (digit-named shard subdirs); refuse arbitrary targets —
+        # split_data.sh never deletes pre-existing directories
+        entries = os.listdir(out_root)
+        if entries and not all(e.isdigit() for e in entries):
+            raise ValueError(
+                f"refusing to overwrite {out_root!r}: it is not a previous "
+                "split output (non-shard entries present)"
+            )
         shutil.rmtree(out_root)
 
     shards: list[list[str]] = [[] for _ in range(n)]
@@ -228,6 +237,10 @@ def subset_data_dir(
     d: str, out: str, n: int, mode: str = "first", seed: int = 0
 ) -> int:
     """subset_data_dir.sh: first/last/random n utterances into `out`."""
+    if n <= 0:
+        # kaldi's subset_data_dir.sh rejects n<=0 (and utts[-0:] would
+        # silently mean "all" in the last mode)
+        raise ValueError(f"subset size must be positive, got {n}")
     files = load_dir(d)
     utt_names = _utt_keyed_names(files)
     utts = sorted(files[utt_names[0]]) if utt_names else []

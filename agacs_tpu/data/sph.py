@@ -33,15 +33,15 @@ def _ulaw_table() -> np.ndarray:
 
 
 def _alaw_table() -> np.ndarray:
-    # ITU-T G.711 A-law expansion
+    # ITU-T G.711 A-law expansion (Sun/CCITT alaw2linear): after the 0x55
+    # unmasking a SET sign bit means POSITIVE, and segment 0 has no shift
     a = np.arange(256, dtype=np.int32) ^ 0x55
     sign = a & 0x80
     exponent = (a >> 4) & 0x07
     mantissa = a & 0x0F
-    sample = np.where(
-        exponent == 0, (mantissa << 4) + 8, ((mantissa << 4) + 0x108) << (exponent - 1)
-    )
-    return np.where(sign, -sample, sample).astype(np.int16)
+    shifted = ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0)
+    sample = np.where(exponent == 0, (mantissa << 4) + 8, shifted)
+    return np.where(sign, sample, -sample).astype(np.int16)
 
 
 _ULAW = _ulaw_table()

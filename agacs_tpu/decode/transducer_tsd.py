@@ -1,0 +1,171 @@
+"""Time-synchronous transducer beam search, fully batched and jitted.
+
+The reference's `time_sync_decoding` (espnet2/asr/transducer/
+beam_search_transducer.py:356-449, after Saon et al. 2020): per encoder
+frame, hypotheses take up to `max_sym_exp` symbol expansions; blank
+extensions accumulate into a pool where identical label sequences merge
+by log-add; the next frame starts from the top-`beam` of the pool.
+
+The reference walks ragged python hypothesis lists per utterance. Here
+the whole search is dense: a hypothesis set is (beam, L) blank-padded
+token tensors + scores + stacked decoder states, the per-frame pool is a
+fixed (beam·(max_sym_exp+1),) candidate block, duplicate merging is a
+pairwise-equality matrix + masked logsumexp (identical sequences imply
+identical decoder states, so keeping the first occurrence is exact), and
+the frame loop is one `lax.scan`. A batch of utterances runs under
+`jax.vmap` with per-utterance frame masking — one compiled program
+decodes the whole batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.models.transducer import (
+    TransducerConfig,
+    init_decoder_state,
+    joint,
+    transducer_decoder_step,
+)
+
+NEG_INF = -1.0e30
+
+
+def _merge_scores(tokens, n_tok, scores):
+    """Merge duplicate sequences: keep the first occurrence with the
+    logsumexp of its group's scores, kill the rest to NEG_INF."""
+    same = (tokens[:, None, :] == tokens[None, :, :]).all(-1)
+    same &= n_tok[:, None] == n_tok[None, :]
+    alive = scores > NEG_INF / 2
+    same &= alive[:, None] & alive[None, :]
+    first = jnp.argmax(same, axis=1)  # lowest j with same[i, j] (i itself worst case)
+    is_rep = (first == jnp.arange(tokens.shape[0])) & alive
+    group = jnp.where(same, scores[None, :], NEG_INF)
+    merged = jax.scipy.special.logsumexp(group, axis=1)
+    return jnp.where(is_rep, merged, NEG_INF)
+
+
+def _tsd_single(params, cfg: TransducerConfig, enc_out, t_len, beam, max_sym_exp,
+                l_max):
+    """TSD over one utterance: enc_out (T, D), returns
+    (tokens (beam, l_max), n (beam,), scores (beam,)) best-first."""
+    blank = cfg.blank_id
+    t_max = enc_out.shape[0]
+    a_cap = beam * (max_sym_exp + 1)
+
+    # beam state: tokens blank-padded so dense equality works
+    tokens0 = jnp.full((beam, l_max), blank, jnp.int32)
+    n0 = jnp.zeros((beam,), jnp.int32)
+    scores0 = jnp.full((beam,), NEG_INF).at[0].set(0.0)
+    state0 = init_decoder_state(cfg, beam)
+    dec0, state0 = transducer_decoder_step(
+        params, cfg, jnp.full((beam,), blank, jnp.int32), state0
+    )
+
+    def frame(carry, xs):
+        tokens, n_tok, scores, dec_out, state = carry
+        enc_t, valid = xs
+
+        # pool of blank-extended candidates accumulated over expansions
+        a_tokens = jnp.full((a_cap, l_max), blank, jnp.int32)
+        a_n = jnp.zeros((a_cap,), jnp.int32)
+        a_scores = jnp.full((a_cap,), NEG_INF)
+        a_dec = jnp.zeros((a_cap,) + dec_out.shape[1:], dec_out.dtype)
+        a_state = jax.tree.map(
+            lambda s: jnp.zeros(s.shape[:1] + (a_cap,) + s.shape[2:], s.dtype),
+            state,
+        )
+
+        c = (tokens, n_tok, scores, dec_out, state)
+        pool = (a_tokens, a_n, a_scores, a_dec, a_state)
+
+        for v in range(max_sym_exp):
+            tokens, n_tok, scores, dec_out, state = c
+            a_tokens, a_n, a_scores, a_dec, a_state = pool
+            logp = jax.nn.log_softmax(
+                joint(params, cfg, enc_t[None], dec_out).astype(jnp.float32),
+                axis=-1,
+            )  # (beam, V)
+
+            # blank-extend every live C hyp into pool slots [v*beam, ...)
+            sl = slice(v * beam, (v + 1) * beam)
+            a_tokens = a_tokens.at[sl].set(tokens)
+            a_n = a_n.at[sl].set(n_tok)
+            a_scores = a_scores.at[sl].set(scores + logp[:, blank])
+            a_dec = a_dec.at[sl].set(dec_out)
+            a_state = jax.tree.map(
+                lambda a, s: a.at[:, sl].set(s), a_state, state
+            )
+            pool = (a_tokens, a_n, a_scores, a_dec, a_state)
+
+            if v == max_sym_exp - 1:
+                break
+
+            # non-blank expansions: top-beam per hyp -> top-beam overall
+            nb = logp.at[:, blank].set(NEG_INF)
+            cand = scores[:, None] + nb  # (beam, V)
+            # cap sequence growth at l_max
+            cand = jnp.where((n_tok < l_max)[:, None], cand, NEG_INF)
+            top_v, top_i = jax.lax.top_k(cand.reshape(-1), beam)
+            parent = top_i // nb.shape[1]
+            sym = (top_i % nb.shape[1]).astype(jnp.int32)
+
+            new_tokens = tokens[parent]
+            new_n = n_tok[parent]
+            new_tokens = new_tokens.at[jnp.arange(beam), new_n].set(sym)
+            new_n = new_n + 1
+            parent_state = jax.tree.map(lambda s: s[:, parent], state)
+            new_dec, new_state = transducer_decoder_step(
+                params, cfg, sym, parent_state
+            )
+            c = (new_tokens, new_n, top_v, new_dec, new_state)
+
+        # merge duplicates in the pool, take top-beam as the next frame's B
+        a_tokens, a_n, a_scores, a_dec, a_state = pool
+        merged = _merge_scores(a_tokens, a_n, a_scores)
+        top_v, top_i = jax.lax.top_k(merged, beam)
+        new_b = (
+            a_tokens[top_i],
+            a_n[top_i],
+            top_v,
+            a_dec[top_i],
+            jax.tree.map(lambda s: s[:, top_i], a_state),
+        )
+        # frames beyond t_len: keep the previous beam untouched
+        out = jax.tree.map(
+            lambda new, old: jnp.where(valid, new, old), new_b, carry
+        )
+        return out, None
+
+    xs = (enc_out, jnp.arange(t_max) < t_len)
+    (tokens, n_tok, scores, _, _), _ = jax.lax.scan(
+        frame, (tokens0, n0, scores0, dec0, state0), xs
+    )
+    order = jnp.argsort(-scores)
+    return tokens[order], n_tok[order], scores[order]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "beam", "max_sym_exp", "l_max")
+)
+def tsd_beam_search(
+    params,
+    cfg: TransducerConfig,
+    enc_out: jax.Array,
+    enc_lens: jax.Array,
+    beam: int = 5,
+    max_sym_exp: int = 3,
+    l_max: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched TSD: enc_out (B, T, D), enc_lens (B,) ->
+    (tokens (B, beam, l_max), n (B, beam), scores (B, beam)), hypotheses
+    best-first per utterance. l_max defaults to T (one symbol per frame
+    average is the practical ceiling)."""
+    l_max = int(l_max or enc_out.shape[1])
+    fn = lambda e, t: _tsd_single(  # noqa: E731
+        params, cfg, e, t, beam=beam, max_sym_exp=max_sym_exp, l_max=l_max
+    )
+    return jax.vmap(fn)(enc_out, enc_lens)

@@ -25,6 +25,7 @@ checkpoints map directly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -284,6 +285,19 @@ def greedy_search(
     return out["tokens"], out["n"]
 
 
+@functools.lru_cache(maxsize=8)
+def _beam_step_fns(cfg: TransducerConfig):
+    step = jax.jit(
+        lambda params, tok, st: transducer_decoder_step(params, cfg, tok, st)
+    )
+    jointf = jax.jit(
+        lambda params, e, d: jax.nn.log_softmax(
+            joint(params, cfg, e, d).astype(jnp.float32), axis=-1
+        )
+    )
+    return step, jointf
+
+
 def default_beam_search(
     params: Params,
     cfg: TransducerConfig,
@@ -297,14 +311,11 @@ def default_beam_search(
     device. enc_out: (T, D_enc). Returns [(score, tokens)] best-first,
     scores length-unnormalized log-probs like sort_nbest(score_norm=False).
     """
-    step_fn = jax.jit(
-        lambda tok, st: transducer_decoder_step(params, cfg, tok, st)
-    )
-    joint_fn = jax.jit(
-        lambda e, d: jax.nn.log_softmax(
-            joint(params, cfg, e, d).astype(jnp.float32), axis=-1
-        )
-    )
+    # jitted primitives cached per config — params are traced arguments,
+    # so per-utterance calls in a decode run reuse one compilation
+    step_fn_p, joint_fn_p = _beam_step_fns(cfg)
+    step_fn = lambda tok, st: step_fn_p(params, tok, st)  # noqa: E731
+    joint_fn = lambda e, d: joint_fn_p(params, e, d)  # noqa: E731
 
     state0 = init_decoder_state(cfg, 1)
     dec0, state0 = step_fn(jnp.full((1,), cfg.blank_id, jnp.int32), state0)

@@ -18,10 +18,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from agacs_tpu.models.conformer import ConformerConfig
+from agacs_tpu.models.conformer import ConformerConfig, TransformerDecoderConfig
 from agacs_tpu.models.conformer_asr import ConformerASRConfig
 from agacs_tpu.models.conformer_asr import encode as _conformer_encode
-from agacs_tpu.models.conformer_asr import init_conformer_asr_params
 from agacs_tpu.models.transducer import (
     TransducerConfig,
     init_transducer_params,
@@ -49,9 +48,17 @@ class TransducerASRConfig:
     ignore_id: int = IGNORE_ID
 
     def _conformer_view(self) -> ConformerASRConfig:
-        """Reuse the conformer family's frontend+encoder plumbing."""
+        """Reuse the conformer family's frontend+encoder plumbing. The
+        decoder config only matters for the CTC head width, which must be
+        the TRANSDUCER vocab (the default TransformerDecoderConfig vocab
+        would size the aux head wrong for BPE vocabs)."""
         return ConformerASRConfig(
             encoder=self.encoder,
+            decoder=TransformerDecoderConfig(
+                vocab_size=self.decoder.vocab_size,
+                # minimal: this decoder is never instantiated/used
+                num_blocks=1, linear_units=1, d_model=self.encoder.output_size,
+            ),
             frontend=self.frontend,
             mvn_stats_path=self.mvn_stats_path,
             ctc_weight=1.0 if self.ctc_weight > 0 else 0.0,
@@ -61,13 +68,33 @@ class TransducerASRConfig:
 
 
 def init_transducer_asr_params(rng: jax.Array, cfg: TransducerASRConfig) -> dict:
-    k1, k2 = jax.random.split(rng)
-    base = init_conformer_asr_params(k1, cfg._conformer_view())
-    params = {"encoder": base["encoder"]}
-    if "mvn" in base:
-        params["mvn"] = base["mvn"]
+    """Encoder (+MVN) + transducer decoder/joint (+aux CTC head). The
+    conformer family's attention decoder is NOT initialized."""
+    import numpy as np
+
+    from agacs_tpu.models.conformer import init_conformer_params
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = {"encoder": init_conformer_params(k1, cfg.encoder)}
+    if cfg.frontend.normalize == "global_mvn":
+        # corpus stats from collect_stats, identity until provided
+        # (conformer_asr.init_conformer_asr_params mvn block)
+        if cfg.mvn_stats_path:
+            stats = np.load(cfg.mvn_stats_path)
+            mean, std = stats["mean"], stats["std"]
+        else:
+            mean = np.zeros((cfg.frontend.n_mels,), np.float32)
+            std = np.ones((cfg.frontend.n_mels,), np.float32)
+        params["mvn"] = {
+            "mean": jnp.asarray(mean, jnp.float32),
+            "std": jnp.asarray(std, jnp.float32),
+        }
     if cfg.ctc_weight > 0.0:
-        params["ctc"] = base["ctc"]
+        d, v = cfg.encoder.output_size, cfg.decoder.vocab_size
+        params["ctc"] = {
+            "w": jax.random.normal(k3, (d, v), jnp.float32) / jnp.sqrt(d),
+            "b": jnp.zeros((v,), jnp.float32),
+        }
     params["transducer"] = init_transducer_params(
         k2, cfg.decoder, encoder_size=cfg.encoder.output_size
     )
@@ -89,7 +116,20 @@ def forward(params, cfg: TransducerASRConfig, batch, train=True, rng=None,
     enc_out, enc_lens = encode(
         params, cfg, batch["speech"], batch["speech_lengths"], train, enc_rng
     )
+    loss, stats = losses_from_encoder(
+        params, cfg, batch, enc_out, enc_lens, train=train, rng=dec_rng
+    )
+    if return_preds:
+        # teacher-forced next-symbol argmax along the lattice diagonal is
+        # not meaningful for transducers; expose greedy ids via search
+        return loss, stats, None
+    return loss, stats
 
+
+def losses_from_encoder(params, cfg: TransducerASRConfig, batch, enc_out,
+                        enc_lens, train=True, rng=None):
+    """RNNT (+aux CTC) losses given precomputed encoder output."""
+    dec_rng = rng
     text = batch["text"]
     blank = cfg.decoder.blank_id
     u_lens = jnp.sum(text != cfg.ignore_id, axis=-1)
@@ -124,8 +164,25 @@ def forward(params, cfg: TransducerASRConfig, batch, train=True, rng=None,
         loss = loss_trans
 
     stats["loss"] = loss
-    if return_preds:
-        # teacher-forced next-symbol argmax along the lattice diagonal is
-        # not meaningful for transducers; expose greedy ids via search
-        return loss, stats, None
     return loss, stats
+
+
+def eval_step_with_greedy(params, cfg: TransducerASRConfig, batch,
+                          max_symbols: int):
+    """One fused eval pass: encoder runs ONCE, feeding both the RNNT/CTC
+    losses and the batched greedy search for CER/WER (the
+    ErrorCalculatorTransducer role, espnet_model.py:131-147). Returns
+    (stats, (tokens, n_emitted))."""
+    from agacs_tpu.models.transducer import greedy_search
+
+    enc_out, enc_lens = encode(
+        params, cfg, batch["speech"], batch["speech_lengths"], train=False
+    )
+    _, stats = losses_from_encoder(
+        params, cfg, batch, enc_out, enc_lens, train=False, rng=None
+    )
+    tokens, n = greedy_search(
+        params["transducer"], cfg.decoder, enc_out, enc_lens,
+        max_symbols=max_symbols,
+    )
+    return stats, (tokens, n)

@@ -220,3 +220,21 @@ def test_sph_shorten_rejected(tmp_path):
     _write_sph(p, pcm, coding="pcm,embedded-shorten-v2.00")
     with pytest.raises(ValueError, match="shorten"):
         read_wav(p)
+
+
+def test_alaw_table_reference_values(tmp_path):
+    from agacs_tpu.data.sph import _ALAW
+
+    # Sun/CCITT alaw2linear spot values: code 0x55 unmasks to 0x00
+    # (sign clear -> negative, seg 0, mant 0) = -8; 0xD5 unmasks to 0x80
+    # (sign set -> positive) = +8; full swing +/-32256
+    assert _ALAW[0x55] == -8 and _ALAW[0xD5] == 8
+    assert int(_ALAW.max()) == 32256 and int(_ALAW.min()) == -32256
+    # antisymmetric between sign halves under the 0x55 mask
+    codes = np.arange(256, dtype=np.uint8)
+    np.testing.assert_array_equal(_ALAW[codes], -_ALAW[codes ^ 0x80])
+
+    p = str(tmp_path / "a.sph")
+    _write_sph(p, codes, coding="alaw", n_bytes=1, byte_format="1")
+    audio, _ = read_wav(p)
+    np.testing.assert_allclose(audio, _ALAW[codes].astype(np.float32) / 32768.0)

@@ -374,3 +374,14 @@ def test_transducer_train_and_decode_cli(tmp_path):
         "--compute_dtype", "float32",
     ])
     assert len(dec_beam["hyps"]) == 2
+
+    dec_tsd = decode.main([
+        "--config", str(tmp_path / "exp" / "config.yaml"),
+        "--params", ave,
+        "--data_dir", str(tmp_path / "valid"),
+        "--output_dir", str(tmp_path / "dec_tsd"),
+        "--beam_size", "2",
+        "--transducer_search", "tsd",
+        "--compute_dtype", "float32",
+    ])
+    assert len(dec_tsd["hyps"]) == 2

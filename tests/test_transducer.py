@@ -349,3 +349,49 @@ def test_greedy_advance_on_emit_reference_semantics():
                     params, cfg, jnp.asarray([best], jnp.int32), state
                 )
         assert tokens[b, : n[b]].tolist() == out, (b, tokens[b], out)
+
+
+def test_tsd_beam_search_batched():
+    """Batched time-synchronous beam search (decode/transducer_tsd.py):
+    recovers the overfit sequences for a whole batch in one jitted call,
+    best-first, with per-utterance frame masking; the top hypothesis
+    matches the host default_beam_search result."""
+    from agacs_tpu.decode.transducer_tsd import tsd_beam_search
+
+    rng = np.random.RandomState(0)
+    cfg = TransducerConfig(vocab_size=8, hidden_size=16, joint_space_size=16)
+    params = init_transducer_params(jax.random.PRNGKey(3), cfg, encoder_size=6)
+    enc = jnp.asarray(rng.randn(2, 10, 6), jnp.float32)
+    enc_lens = jnp.asarray([10, 7])
+    targets = jnp.asarray([[3, 1, 4, 2], [5, 6, 0, 0]], jnp.int32)
+    u_lens = jnp.asarray([4, 2])
+    params, loss = _overfit_tiny(cfg, params, enc, enc_lens, targets, u_lens)
+    assert loss < 1.0
+
+    tokens, n, scores = tsd_beam_search(
+        params, cfg, enc, enc_lens, beam=3, max_sym_exp=3
+    )
+    assert tokens.shape == (2, 3, 10)
+    got0 = list(np.asarray(tokens[0, 0, : int(n[0, 0])]))
+    got1 = list(np.asarray(tokens[1, 0, : int(n[1, 0])]))
+    assert got0 == [3, 1, 4, 2], got0
+    assert got1 == [5, 6], got1
+    # best-first scores
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+    # top hypothesis agrees with the host-side reference default beam
+    nbest = default_beam_search(params, cfg, np.asarray(enc[0]), beam_size=3)
+    assert nbest[0][1] == got0
+
+    # masking: padding frames beyond t_len must not change the result
+    enc_pad = jnp.concatenate(
+        [enc, jnp.asarray(rng.randn(2, 4, 6), jnp.float32)], axis=1
+    )
+    tokens2, n2, scores2 = tsd_beam_search(
+        params, cfg, enc_pad, enc_lens, beam=3, max_sym_exp=3
+    )
+    np.testing.assert_array_equal(np.asarray(tokens)[..., :10],
+                                  np.asarray(tokens2)[..., :10])
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(scores2),
+                               rtol=1e-5, atol=1e-5)

@@ -202,7 +202,11 @@ def main(argv=None):
     ap.add_argument("trace", help="trace dir or .xplane.pb file")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--plane", default="TPU", help="substring filter on plane name (default TPU; use '' for all)")
-    ap.add_argument("--line", default="", help="substring filter on line name")
+    ap.add_argument("--line", default="XLA Ops",
+                    help="line name filter (default 'XLA Ops'; device planes "
+                         "carry overlapping lines — XLA Modules/Steps span "
+                         "the same wall clock, so summing every line "
+                         "double-counts; pass '' to sum all lines anyway)")
     ap.add_argument("--group-by", choices=("name", "category"), default="name")
     ap.add_argument("--steps", type=int, default=0,
                     help="divide totals by N steps for per-step times")
@@ -216,6 +220,11 @@ def main(argv=None):
         for p in planes:
             print(f"  {p.name!r}: lines {[ln for ln, _ in p.lines]}")
         sys.exit(f"no plane matching {args.plane!r}")
+    if args.line and not any(
+        args.line.lower() in ln.lower() for p in sel for ln, _ in p.lines
+    ):
+        avail = sorted({ln for p in sel for ln, _ in p.lines})
+        sys.exit(f"no line matching {args.line!r}; available: {avail}")
 
     totals: dict[str, float] = collections.defaultdict(float)
     counts: dict[str, int] = collections.defaultdict(int)
