@@ -190,6 +190,15 @@ def _decode_transducer(args, task, params, ds):
     from agacs_tpu.models.transducer import default_beam_search, greedy_search
 
     cfg = task.cfg
+    lm_params = lm_cfg = None
+    if args.lm_exp and args.lm_weight > 0.0:
+        from agacs_tpu.models.lm import init_lm_params
+
+        lm_cfg = _load_lm_config(args.lm_exp)
+        lm_params = load_pytree_like(
+            os.path.join(args.lm_exp, "valid.loss.ave.params.npz"),
+            init_lm_params(jax.random.PRNGKey(0), lm_cfg),
+        )
     enc_fn = jax.jit(lambda p, s, l: transducer_asr.encode(p, cfg, s, l))
     greedy_fn = jax.jit(
         lambda p, e, el: greedy_search(p, cfg.decoder, e, el)
@@ -223,6 +232,8 @@ def _decode_transducer(args, task, params, ds):
             nbest = default_beam_search(
                 params["transducer"], cfg.decoder,
                 enc_np[k, : int(enc_lens[k])], beam_size=args.beam_size,
+                lm_params=lm_params, lm_cfg=lm_cfg,
+                lm_weight=args.lm_weight if lm_params is not None else 0.0,
             )
             rows.append(nbest[0][1])
         return rows

@@ -304,12 +304,21 @@ def default_beam_search(
     enc_out: np.ndarray,
     beam_size: int = 5,
     max_symbols_per_frame: int = 3,
+    lm_params: Params | None = None,
+    lm_cfg: Any = None,
+    lm_weight: float = 0.0,
+    lm_sos: int = 50258,
 ) -> list[tuple[float, list[int]]]:
     """The reference's default_beam_search
     (beam_search_transducer.py:255-354) for one utterance: ragged
     hypothesis semantics on the host, jitted decoder/joint steps on
     device. enc_out: (T, D_enc). Returns [(score, tokens)] best-first,
     scores length-unnormalized log-probs like sort_nbest(score_norm=False).
+
+    With lm_params/lm_cfg/lm_weight, non-blank expansions get LM shallow
+    fusion over the [sos]+tokens prefix, cached per hypothesis — the
+    reference's use_lm branch (:314-336; blank extensions are not LM
+    scored).
     """
     # jitted primitives cached per config — params are traced arguments,
     # so per-utterance calls in a decode run reuse one compilation
@@ -321,6 +330,7 @@ def default_beam_search(
     dec0, state0 = step_fn(jnp.full((1,), cfg.blank_id, jnp.int32), state0)
     # hyp: (score, tuple(tokens), dec_out, state)
     kept = [(0.0, (), dec0, state0)]
+    cache_lm: dict[tuple, np.ndarray] = {}
     t_len = enc_out.shape[0]
     for t in range(t_len):
         enc_t = jnp.asarray(enc_out[t])[None]
@@ -333,8 +343,18 @@ def default_beam_search(
             hyps.sort(key=lambda h: -h[0])
             score, toks, dec, st = hyps.pop(0)
             logp = np.asarray(joint_fn(enc_t, dec)[0])
-            # blank: hypothesis moves to the next frame
+            # blank: hypothesis moves to the next frame (never LM scored)
             kept.append((score + float(logp[cfg.blank_id]), toks, dec, st))
+            lm_scores = None
+            if lm_params is not None and lm_weight:
+                if toks not in cache_lm:
+                    from agacs_tpu.models.lm import lm_score_step
+
+                    prefix = jnp.asarray([[lm_sos, *toks]], jnp.int32)
+                    cache_lm[toks] = np.asarray(
+                        lm_score_step(lm_params, lm_cfg, prefix)[0]
+                    )
+                lm_scores = cache_lm[toks]
             # non-blank expansions stay on this frame
             order = np.argsort(-logp)
             n_exp = 0
@@ -344,9 +364,10 @@ def default_beam_search(
                 new_dec, new_st = step_fn(
                     jnp.asarray([v], jnp.int32), st
                 )
-                hyps.append(
-                    (score + float(logp[v]), toks + (int(v),), new_dec, new_st)
-                )
+                new_score = score + float(logp[v])
+                if lm_scores is not None:
+                    new_score += lm_weight * float(lm_scores[v])
+                hyps.append((new_score, toks + (int(v),), new_dec, new_st))
                 n_exp += 1
                 if n_exp >= beam_size:
                     break

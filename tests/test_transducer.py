@@ -395,3 +395,44 @@ def test_tsd_beam_search_batched():
                                   np.asarray(tokens2)[..., :10])
     np.testing.assert_allclose(np.asarray(scores), np.asarray(scores2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_default_beam_lm_fusion():
+    """LM shallow fusion in the transducer default beam (reference
+    use_lm branch :314-336): lm_weight=0 is exactly the no-LM search;
+    lm_weight>0 adds per-token LM log-probs to non-blank expansions."""
+    from agacs_tpu.models.lm import TransformerLMConfig, init_lm_params
+
+    rng = np.random.RandomState(0)
+    cfg = TransducerConfig(vocab_size=8, hidden_size=16, joint_space_size=16)
+    params = init_transducer_params(jax.random.PRNGKey(3), cfg, encoder_size=6)
+    enc = jnp.asarray(rng.randn(2, 10, 6), jnp.float32)
+    enc_lens = jnp.asarray([10, 7])
+    targets = jnp.asarray([[3, 1, 4, 2], [5, 6, 0, 0]], jnp.int32)
+    u_lens = jnp.asarray([4, 2])
+    params, _ = _overfit_tiny(cfg, params, enc, enc_lens, targets, u_lens)
+
+    lm_cfg = TransformerLMConfig(
+        vocab_size=8, d_model=16, attention_heads=2, linear_units=32,
+        num_blocks=1, compute_dtype=jnp.float32,
+    )
+    lm_params = init_lm_params(jax.random.PRNGKey(9), lm_cfg)
+
+    base = default_beam_search(params, cfg, np.asarray(enc[0]), beam_size=3)
+    zero = default_beam_search(
+        params, cfg, np.asarray(enc[0]), beam_size=3,
+        lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=0.0, lm_sos=7,
+    )
+    assert zero == base  # weight 0 short-circuits to the plain search
+
+    fused = default_beam_search(
+        params, cfg, np.asarray(enc[0]), beam_size=3,
+        lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=0.05, lm_sos=7,
+    )
+    # scores shift by the LM term; ordering stays best-first
+    assert fused != base
+    assert [s for s, _ in fused] == sorted((s for s, _ in fused), reverse=True)
+    # the overfit acoustic model still dominates at small weight, and the
+    # winning score moved by exactly the (nonzero) LM contribution
+    assert fused[0][1] == [3, 1, 4, 2], fused[0]
+    assert abs(fused[0][0] - base[0][0]) > 1e-6
