@@ -286,6 +286,26 @@ def greedy_search(
 
 
 @functools.lru_cache(maxsize=8)
+def _lm_bucket_fn(lm_cfg):
+    """Jitted LM next-token scorer over right-padded prefixes: causal
+    attention means logits at position n-1 ignore the padding, so
+    bucketing prefix lengths to multiples of 8 bounds compile count."""
+    import jax.nn
+
+    from agacs_tpu.models.lm import lm_forward
+
+    @jax.jit
+    def score(lm_params, prefix, n):
+        logits = lm_forward(lm_params, lm_cfg, prefix)  # (1, Lb, V)
+        row = jnp.take_along_axis(
+            logits, jnp.reshape(n - 1, (1, 1, 1)), axis=1
+        )[0, 0]
+        return jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
+
+    return score
+
+
+@functools.lru_cache(maxsize=8)
 def _beam_step_fns(cfg: TransducerConfig):
     step = jax.jit(
         lambda params, tok, st: transducer_decoder_step(params, cfg, tok, st)
@@ -348,11 +368,14 @@ def default_beam_search(
             lm_scores = None
             if lm_params is not None and lm_weight:
                 if toks not in cache_lm:
-                    from agacs_tpu.models.lm import lm_score_step
-
-                    prefix = jnp.asarray([[lm_sos, *toks]], jnp.int32)
+                    n = len(toks) + 1
+                    lb = ((n + 7) // 8) * 8
+                    prefix = np.zeros((1, lb), np.int32)
+                    prefix[0, :n] = [lm_sos, *toks]
                     cache_lm[toks] = np.asarray(
-                        lm_score_step(lm_params, lm_cfg, prefix)[0]
+                        _lm_bucket_fn(lm_cfg)(
+                            lm_params, jnp.asarray(prefix), jnp.asarray(n)
+                        )
                     )
                 lm_scores = cache_lm[toks]
             # non-blank expansions stay on this frame
