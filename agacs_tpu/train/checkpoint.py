@@ -18,13 +18,24 @@ import jax
 import numpy as np
 
 
+def _savable(v) -> np.ndarray:
+    """npz-compatible view of a leaf. numpy has no native bfloat16, so
+    bf16 leaves (e.g. the frozen trunk under cast_frozen_params) are
+    stored as float32 — lossless, and load_pytree_like casts back to the
+    template dtype on read."""
+    a = np.asarray(v)
+    if a.dtype.name == "bfloat16":
+        return a.astype(np.float32)
+    return a
+
+
 def _flatten_with_names(tree: Any) -> list[tuple[str, np.ndarray]]:
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
 
     def name(kp):
         return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
 
-    return [(name(kp), np.asarray(v)) for kp, v in flat]
+    return [(name(kp), _savable(v)) for kp, v in flat]
 
 
 def save_pytree(path: str, tree: Any) -> None:
@@ -43,6 +54,12 @@ def load_pytree_like(path: str, template: Any) -> Any:
     leaves = []
     for kp, tmpl in flat:
         arr = data[name(kp)]
+        if arr.dtype.kind == "V" and arr.dtype.itemsize == 2:
+            # legacy file with a raw-saved bf16 leaf (pre-_savable):
+            # reinterpret the bytes
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
         leaves.append(jax.numpy.asarray(arr, dtype=tmpl.dtype))
     return jax.tree_util.tree_unflatten(treedef, [l for l in leaves])
 

@@ -312,3 +312,35 @@ def test_cast_frozen_params_bf16_training(tok):
         np.asarray(state.params["decoder"]["token_emb"]), frozen_before
     )
     assert state.params["decoder"]["token_emb"].dtype == jnp.bfloat16
+
+
+def test_checkpoint_bf16_roundtrip(tmp_path):
+    """npz checkpoints must round-trip bf16 leaves (the frozen trunk under
+    cast_frozen_params): numpy has no native bfloat16, so they are stored
+    as lossless float32 and cast back by the template on load. Legacy
+    files with raw-saved bf16 (void'2') leaves are reinterpreted."""
+    from agacs_tpu.train.checkpoint import load_pytree_like, save_pytree
+
+    tree = {
+        "frozen": (jnp.arange(6, dtype=jnp.float32) / 3.0).astype(jnp.bfloat16),
+        "master": jnp.arange(4, dtype=jnp.float32),
+    }
+    p = str(tmp_path / "ck.npz")
+    save_pytree(p, tree)
+    loaded = load_pytree_like(p, tree)
+    assert loaded["frozen"].dtype == jnp.bfloat16
+    assert loaded["master"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(loaded["frozen"], np.float32),
+                                  np.asarray(tree["frozen"], np.float32))
+
+    # legacy file: bf16 bytes saved raw -> void itemsize-2 on load
+    import ml_dtypes
+
+    raw = np.asarray(tree["frozen"]).view(np.void(2).dtype)
+    np.savez(str(tmp_path / "legacy.npz"), frozen=raw,
+             master=np.asarray(tree["master"]))
+    legacy = load_pytree_like(str(tmp_path / "legacy.npz"), tree)
+    np.testing.assert_array_equal(
+        np.asarray(legacy["frozen"], np.float32),
+        np.asarray(tree["frozen"], np.float32),
+    )

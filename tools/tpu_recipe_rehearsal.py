@@ -1,0 +1,134 @@
+"""Full-dress rehearsal of the SEAME two-stage recipe on the real TPU.
+
+The e2e pytest (tests/test_e2e_recipe.py) runs the same flow with a tiny
+model on virtual CPU devices; this script runs the ACTUAL recipe configs
+(whisper-small, adapters, CS loss — recipes/seame/conf/*.yaml) against a
+synthetic corpus on the real chip: perturb -> stage-1 train ->
+count_heads -> stage-2 train (init from stage-1 average) -> greedy
+decode -> MER scoring. Epoch counts and batch_bins are scaled down via
+CLI flags; everything else is the shipped configuration.
+
+Usage: python tools/tpu_recipe_rehearsal.py [--root /tmp/rehearsal]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_corpus(root: str, n_train=10, n_valid=4, n_test=4, seed=0):
+    from agacs_tpu.data.io import write_scp, write_wav
+
+    rng = np.random.RandomState(seed)
+    texts = ["我们 去 shopping", "hello 你 好", "今天 ok 吗", "我 想 eat lunch",
+             "not bad 啦", "这个 weekend 去 哪里"]
+    for split, n in (("train", n_train), ("valid", n_valid), ("devman", n_test)):
+        d = os.path.join(root, "data", split)
+        wavs, txt = {}, {}
+        for i in range(n):
+            u = f"{split}{i:02d}"
+            sec = 2 + int(rng.randint(0, 2))
+            tone = np.sin(2 * np.pi * (200 + 50 * i) *
+                          np.arange(sec * 16000) / 16000)
+            wav = (0.1 * tone + 0.02 * rng.randn(sec * 16000)).astype(np.float32)
+            p = os.path.join(d, f"{u}.wav")
+            write_wav(p, wav)
+            wavs[u] = p
+            txt[u] = texts[i % len(texts)]
+        write_scp(os.path.join(d, "wav.scp"), wavs)
+        write_scp(os.path.join(d, "text"), txt)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/rehearsal")
+    ap.add_argument("--max_epoch", type=int, default=1)
+    ap.add_argument("--batch_bins", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    conf = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "recipes", "seame", "conf")
+    root = args.root
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t0 = time.time()
+    build_corpus(root)
+
+    from agacs_tpu.bin import count_heads, decode, score, train
+    from agacs_tpu.data.perturb import perturb_data_dir
+
+    print("=== speed perturb ===", flush=True)
+    perturb_data_dir(os.path.join(root, "data/train"),
+                     os.path.join(root, "data/train_sp"))
+
+    print("=== stage 1: adapter encoder fine-tune (whisper-small) ===",
+          flush=True)
+    train.main([
+        "--config", os.path.join(conf, "train_asr_whisper_small_adapter_encoder.yaml"),
+        "--train_dir", os.path.join(root, "data/train_sp"),
+        "--valid_dir", os.path.join(root, "data/valid"),
+        "--exp_dir", os.path.join(root, "exp/stage1"),
+        "--max_epoch", str(args.max_epoch),
+        "--batch_bins", str(args.batch_bins),
+        "--num_att_plot", "1",
+    ])
+
+    print("=== head counting ===", flush=True)
+    count_heads.main([
+        "--config", os.path.join(root, "exp/stage1/config.yaml"),
+        "--params", os.path.join(root, "exp/stage1/valid.acc.ave.params.npz"),
+        "--data_dir", os.path.join(root, "data/valid"),
+        "--output", os.path.join(root, "exp/attention_counts.json"),
+    ])
+
+    print("=== stage 2: adapter + CS loss ===", flush=True)
+    train.main([
+        "--config", os.path.join(
+            conf, "train_asr_whisper_small_adapter_csloss_2stage.yaml"),
+        "--train_dir", os.path.join(root, "data/train_sp"),
+        "--valid_dir", os.path.join(root, "data/valid"),
+        "--exp_dir", os.path.join(root, "exp/stage2"),
+        "--init_param", os.path.join(root, "exp/stage1/valid.acc.ave.params.npz"),
+        "--max_epoch", str(args.max_epoch),
+        "--batch_bins", str(args.batch_bins),
+        "--num_att_plot", "1",
+    ])
+
+    print("=== decode devman (greedy, decode_asr_whisper.yaml) ===", flush=True)
+    out = os.path.join(root, "exp/stage2/decode_devman")
+    decode.main([
+        "--config", os.path.join(root, "exp/stage2/config.yaml"),
+        "--decode_config", os.path.join(conf, "decode_asr_whisper.yaml"),
+        "--params", os.path.join(root, "exp/stage2/valid.acc.ave.params.npz"),
+        "--data_dir", os.path.join(root, "data/devman"),
+        "--output_dir", out,
+    ])
+    score.main([
+        "--ref", os.path.join(out, "ref.trn"),
+        "--hyp", os.path.join(out, "hyp.trn"),
+        "--output_dir", os.path.join(out, "score"),
+    ])
+
+    result = json.load(open(os.path.join(out, "score", "result.json")))
+    rtf = json.load(open(os.path.join(out, "rtf.json")))
+    print(json.dumps({
+        "wall_minutes": round((time.time() - t0) / 60, 1),
+        "mer": result.get("mer"),
+        "rtf": rtf.get("rtf"),
+        "counts_file": os.path.exists(
+            os.path.join(root, "exp/attention_counts.json")),
+    }))
+    print("REHEARSAL OK")
+
+
+if __name__ == "__main__":
+    main()
