@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--root", default="/tmp/rehearsal")
     ap.add_argument("--max_epoch", type=int, default=1)
     ap.add_argument("--batch_bins", type=int, default=2_000_000)
+    ap.add_argument("--track", default="whisper",
+                    choices=("whisper", "conformer", "transducer"))
     args = ap.parse_args()
 
     conf = os.path.join(os.path.dirname(os.path.dirname(
@@ -62,6 +64,10 @@ def main():
         shutil.rmtree(root)
     t0 = time.time()
     build_corpus(root)
+    if args.track == "conformer":
+        return conformer_track(root, conf, args, t0)
+    if args.track == "transducer":
+        return transducer_track(root, conf, args, t0)
 
     from agacs_tpu.bin import count_heads, decode, score, train
     from agacs_tpu.data.perturb import perturb_data_dir
@@ -128,6 +134,103 @@ def main():
             os.path.join(root, "exp/attention_counts.json")),
     }))
     print("REHEARSAL OK")
+
+
+def _finish(root, out, t0):
+    result = json.load(open(os.path.join(out, "score", "result.json")))
+    rtf = json.load(open(os.path.join(out, "rtf.json")))
+    print(json.dumps({
+        "wall_minutes": round((time.time() - t0) / 60, 1),
+        "mer": result.get("mer"),
+        "rtf": rtf.get("rtf"),
+    }))
+    print("REHEARSAL OK")
+
+
+def conformer_track(root, conf, args, t0):
+    """run_conformer.sh stages 1-5: stats -> LM -> conformer hybrid train
+    -> joint CTC/attention decode with LM fusion -> scoring."""
+    from agacs_tpu.bin import collect_stats, decode, lm_train, score, train
+
+    print("=== collect stats (GlobalMVN) ===", flush=True)
+    collect_stats.main([
+        "--data_dir", os.path.join(root, "data/train"),
+        "--output_dir", os.path.join(root, "exp/stats"),
+    ])
+    print("=== transformer LM ===", flush=True)
+    lm_train.main([
+        "--train_text", os.path.join(root, "data/train/text"),
+        "--valid_text", os.path.join(root, "data/valid/text"),
+        "--exp_dir", os.path.join(root, "exp/lm"),
+        "--d_model", "64", "--attention_heads", "4",
+        "--linear_units", "128", "--num_blocks", "2",
+        "--max_epoch", str(args.max_epoch),
+    ])
+    print("=== conformer hybrid CTC/attention train ===", flush=True)
+    train.main([
+        "--config", os.path.join(conf, "train_asr_conformer.yaml"),
+        "--train_dir", os.path.join(root, "data/train"),
+        "--valid_dir", os.path.join(root, "data/valid"),
+        "--exp_dir", os.path.join(root, "exp/conformer"),
+        "--max_epoch", str(args.max_epoch),
+        "--batch_bins", str(args.batch_bins),
+        "--override",
+        "normalize_conf.stats_file=" + os.path.join(
+            root, "exp/stats/feats_stats.npz"),
+        "--num_att_plot", "0",
+    ])
+    print("=== joint decode + LM fusion (decode_asr.yaml) ===", flush=True)
+    out = os.path.join(root, "exp/conformer/decode_devman")
+    decode.main([
+        "--config", os.path.join(root, "exp/conformer/config.yaml"),
+        "--decode_config", os.path.join(conf, "decode_asr.yaml"),
+        "--params", os.path.join(root, "exp/conformer/valid.acc.ave.params.npz"),
+        "--data_dir", os.path.join(root, "data/devman"),
+        "--output_dir", out,
+        "--lm_exp", os.path.join(root, "exp/lm"),
+    ])
+    score.main([
+        "--ref", os.path.join(out, "ref.trn"),
+        "--hyp", os.path.join(out, "hyp.trn"),
+        "--output_dir", os.path.join(out, "score"), "--per_bucket",
+    ])
+    _finish(root, out, t0)
+
+
+def transducer_track(root, conf, args, t0):
+    """Transducer family: RNNT train -> batched greedy + TSD decode ->
+    scoring (recipes/seame/conf/train_asr_transducer.yaml)."""
+    from agacs_tpu.bin import decode, score, train
+
+    print("=== transducer (RNNT) train ===", flush=True)
+    train.main([
+        "--config", os.path.join(conf, "train_asr_transducer.yaml"),
+        "--train_dir", os.path.join(root, "data/train"),
+        "--valid_dir", os.path.join(root, "data/valid"),
+        "--exp_dir", os.path.join(root, "exp/transducer"),
+        "--max_epoch", str(args.max_epoch),
+        "--batch_bins", str(args.batch_bins),
+        "--override", "normalize=utterance_mvn",
+        "--num_att_plot", "0",
+    ])
+    out = os.path.join(root, "exp/transducer/decode_devman")
+    for name, extra in (("greedy", ["--beam_size", "1"]),
+                        ("tsd", ["--beam_size", "4",
+                                 "--transducer_search", "tsd"])):
+        print(f"=== decode devman ({name}) ===", flush=True)
+        decode.main([
+            "--config", os.path.join(root, "exp/transducer/config.yaml"),
+            "--params", os.path.join(
+                root, "exp/transducer/valid.loss.ave.params.npz"),
+            "--data_dir", os.path.join(root, "data/devman"),
+            "--output_dir", out,
+        ] + extra)
+    score.main([
+        "--ref", os.path.join(out, "ref.trn"),
+        "--hyp", os.path.join(out, "hyp.trn"),
+        "--output_dir", os.path.join(out, "score"),
+    ])
+    _finish(root, out, t0)
 
 
 if __name__ == "__main__":
