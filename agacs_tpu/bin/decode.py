@@ -60,11 +60,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ngram_weight", type=float, default=0.3)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--transducer_search", default="default",
-                   choices=("default", "tsd"),
+                   choices=("default", "tsd", "alsd"),
                    help="beam>1 transducer search: 'default' = the "
                         "reference's default_beam_search (per-utterance, "
-                        "host-side), 'tsd' = batched jitted "
-                        "time-synchronous beam (decode/transducer_tsd.py)")
+                        "host-side, supports --lm_exp fusion), 'tsd' / "
+                        "'alsd' = batched jitted time-sync / "
+                        "align-length-sync beams (decode/transducer_tsd.py)")
     return p
 
 
@@ -214,10 +215,15 @@ def _decode_transducer(args, task, params, ds):
                 [t for t in tokens[k, : n_emit[k]].tolist() if t != blank]
                 for k in range(tokens.shape[0])
             ]
-        if args.transducer_search == "tsd":
-            from agacs_tpu.decode.transducer_tsd import tsd_beam_search
+        if args.transducer_search in ("tsd", "alsd"):
+            from agacs_tpu.decode.transducer_tsd import (
+                alsd_beam_search,
+                tsd_beam_search,
+            )
 
-            tokens, n, _ = tsd_beam_search(
+            search = (tsd_beam_search if args.transducer_search == "tsd"
+                      else alsd_beam_search)
+            tokens, n, _ = search(
                 params["transducer"], cfg.decoder, enc, enc_lens,
                 beam=args.beam_size,
             )

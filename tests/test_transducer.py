@@ -436,3 +436,43 @@ def test_default_beam_lm_fusion():
     # winning score moved by exactly the (nonzero) LM contribution
     assert fused[0][1] == [3, 1, 4, 2], fused[0]
     assert abs(fused[0][0] - base[0][0]) > 1e-6
+
+
+def test_alsd_beam_search_batched():
+    """Batched align-length-sync beam search: recovers the overfit
+    sequences, agrees with the default beam's 1-best, and is invariant to
+    padding frames beyond t_len."""
+    from agacs_tpu.decode.transducer_tsd import alsd_beam_search
+
+    rng = np.random.RandomState(0)
+    cfg = TransducerConfig(vocab_size=8, hidden_size=16, joint_space_size=16)
+    params = init_transducer_params(jax.random.PRNGKey(3), cfg, encoder_size=6)
+    enc = jnp.asarray(rng.randn(2, 10, 6), jnp.float32)
+    enc_lens = jnp.asarray([10, 7])
+    targets = jnp.asarray([[3, 1, 4, 2], [5, 6, 0, 0]], jnp.int32)
+    u_lens = jnp.asarray([4, 2])
+    params, loss = _overfit_tiny(cfg, params, enc, enc_lens, targets, u_lens)
+    assert loss < 1.0
+
+    tokens, n, scores = alsd_beam_search(
+        params, cfg, enc, enc_lens, beam=3, u_max=8
+    )
+    got0 = list(np.asarray(tokens[0, 0, : int(n[0, 0])]))
+    got1 = list(np.asarray(tokens[1, 0, : int(n[1, 0])]))
+    assert got0 == [3, 1, 4, 2], (got0, np.asarray(tokens[0]))
+    assert got1 == [5, 6], got1
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+    nbest = default_beam_search(params, cfg, np.asarray(enc[0]), beam_size=3)
+    assert nbest[0][1] == got0
+
+    enc_pad = jnp.concatenate(
+        [enc, jnp.asarray(rng.randn(2, 5, 6), jnp.float32)], axis=1
+    )
+    tokens2, n2, scores2 = alsd_beam_search(
+        params, cfg, enc_pad, enc_lens, beam=3, u_max=8
+    )
+    assert list(np.asarray(tokens2[0, 0, : int(n2[0, 0])])) == got0
+    np.testing.assert_allclose(np.asarray(scores)[:, 0],
+                               np.asarray(scores2)[:, 0], rtol=1e-5, atol=1e-5)
