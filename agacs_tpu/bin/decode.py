@@ -66,6 +66,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "host-side, supports --lm_exp fusion), 'tsd' / "
                         "'alsd' = batched jitted time-sync / "
                         "align-length-sync beams (decode/transducer_tsd.py)")
+    p.add_argument("--transducer_u_max", type=int, default=50,
+                   help="ALSD label-length cap (BeamSearchTransducer "
+                        "u_max); raise for utterances with long "
+                        "transcripts")
     return p
 
 
@@ -85,6 +89,21 @@ def _apply_decode_config(args, path: str, raw_argv: list[str]) -> None:
             setattr(args, dest, type(cur)(v) if cur is not None else v)
     if "maxlenratio" in dc and "max_steps" not in given:
         args.max_steps = 0
+
+
+def _load_lm(args):
+    """(lm_params, lm_cfg) from --lm_exp/--lm_weight, or (None, None).
+    Shared by all three decode families."""
+    if not (args.lm_exp and args.lm_weight > 0.0):
+        return None, None
+    from agacs_tpu.models.lm import init_lm_params
+
+    lm_cfg = _load_lm_config(args.lm_exp)
+    lm_params = load_pytree_like(
+        os.path.join(args.lm_exp, "valid.loss.ave.params.npz"),
+        init_lm_params(jax.random.PRNGKey(0), lm_cfg),
+    )
+    return lm_params, lm_cfg
 
 
 def _load_lm_config(lm_exp: str):
@@ -138,15 +157,7 @@ def _decode_conformer(args, task, params, ds):
     from agacs_tpu.models import conformer_asr
 
     cfg = task.cfg
-    lm_params = lm_cfg = None
-    if args.lm_exp:
-        from agacs_tpu.models.lm import TransformerLMConfig, init_lm_params
-
-        lm_cfg = _load_lm_config(args.lm_exp)
-        lm_params = load_pytree_like(
-            os.path.join(args.lm_exp, "valid.loss.ave.params.npz"),
-            init_lm_params(jax.random.PRNGKey(0), lm_cfg),
-        )
+    lm_params, lm_cfg = _load_lm(args)
 
     enc_fn = jax.jit(lambda p, s, l: conformer_asr.encode(p, cfg, s, l))
 
@@ -191,15 +202,16 @@ def _decode_transducer(args, task, params, ds):
     from agacs_tpu.models.transducer import default_beam_search, greedy_search
 
     cfg = task.cfg
-    lm_params = lm_cfg = None
-    if args.lm_exp and args.lm_weight > 0.0:
-        from agacs_tpu.models.lm import init_lm_params
-
-        lm_cfg = _load_lm_config(args.lm_exp)
-        lm_params = load_pytree_like(
-            os.path.join(args.lm_exp, "valid.loss.ave.params.npz"),
-            init_lm_params(jax.random.PRNGKey(0), lm_cfg),
+    if args.transducer_search in ("tsd", "alsd") and args.beam_size > 1 \
+            and args.lm_exp:
+        logging.warning(
+            "--lm_exp is not supported by the batched %s search; LM fusion "
+            "is available with --transducer_search default",
+            args.transducer_search,
         )
+        lm_params = lm_cfg = None
+    else:
+        lm_params, lm_cfg = _load_lm(args)
     enc_fn = jax.jit(lambda p, s, l: transducer_asr.encode(p, cfg, s, l))
     greedy_fn = jax.jit(
         lambda p, e, el: greedy_search(p, cfg.decoder, e, el)
@@ -221,12 +233,16 @@ def _decode_transducer(args, task, params, ds):
                 tsd_beam_search,
             )
 
-            search = (tsd_beam_search if args.transducer_search == "tsd"
-                      else alsd_beam_search)
-            tokens, n, _ = search(
-                params["transducer"], cfg.decoder, enc, enc_lens,
-                beam=args.beam_size,
-            )
+            if args.transducer_search == "tsd":
+                tokens, n, _ = tsd_beam_search(
+                    params["transducer"], cfg.decoder, enc, enc_lens,
+                    beam=args.beam_size,
+                )
+            else:
+                tokens, n, _ = alsd_beam_search(
+                    params["transducer"], cfg.decoder, enc, enc_lens,
+                    beam=args.beam_size, u_max=args.transducer_u_max,
+                )
             tokens, n = np.asarray(tokens), np.asarray(n)
             return [
                 [t for t in tokens[k, 0, : n[k, 0]].tolist() if t != blank]
@@ -240,6 +256,7 @@ def _decode_transducer(args, task, params, ds):
                 enc_np[k, : int(enc_lens[k])], beam_size=args.beam_size,
                 lm_params=lm_params, lm_cfg=lm_cfg,
                 lm_weight=args.lm_weight if lm_params is not None else 0.0,
+                lm_sos=lm_cfg.sos if lm_cfg is not None else 50258,
             )
             rows.append(nbest[0][1])
         return rows
@@ -249,15 +266,7 @@ def _decode_transducer(args, task, params, ds):
 
 def _decode_whisper(args, task, params, ds):
     cfg = task.cfg
-    lm_params = lm_cfg = None
-    if args.lm_exp and args.lm_weight > 0.0:
-        from agacs_tpu.models.lm import init_lm_params
-
-        lm_cfg = _load_lm_config(args.lm_exp)
-        lm_params = load_pytree_like(
-            os.path.join(args.lm_exp, "valid.loss.ave.params.npz"),
-            init_lm_params(jax.random.PRNGKey(0), lm_cfg),
-        )
+    lm_params, lm_cfg = _load_lm(args)
     ngram_lm = None
     if args.ngram_file:
         from agacs_tpu.models.ngram import load_ngram

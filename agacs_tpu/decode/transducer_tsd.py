@@ -14,7 +14,7 @@ blocks.
 The reference walks ragged python hypothesis lists per utterance. Here
 the whole search is dense: a hypothesis set is (beam, L) blank-padded
 token tensors + scores + stacked decoder states, the per-frame pool is a
-fixed (beam·(max_sym_exp+1),) candidate block, duplicate merging is a
+fixed (beam·max_sym_exp,) candidate block, duplicate merging is a
 pairwise-equality matrix + masked logsumexp (identical sequences imply
 identical decoder states, so keeping the first occurrence is exact), and
 the frame loop is one `lax.scan`. A batch of utterances runs under
@@ -59,7 +59,8 @@ def _tsd_single(params, cfg: TransducerConfig, enc_out, t_len, beam, max_sym_exp
     (tokens (beam, l_max), n (beam,), scores (beam,)) best-first."""
     blank = cfg.blank_id
     t_max = enc_out.shape[0]
-    a_cap = beam * (max_sym_exp + 1)
+    # one blank-extension block per expansion round
+    a_cap = beam * max_sym_exp
 
     # beam state: tokens blank-padded so dense equality works
     tokens0 = jnp.full((beam, l_max), blank, jnp.int32)
@@ -251,8 +252,7 @@ def _alsd_single(params, cfg: TransducerConfig, enc_out, t_len, beam, u_max,
         parent_state = jax.tree.map(lambda s: s[:, sel_parent], state)
         parent_dec = dec_out[sel_parent]
         new_dec, new_state = transducer_decoder_step(
-            params, cfg, jnp.where(sel_sym == blank, blank, sel_sym),
-            parent_state,
+            params, cfg, sel_sym, parent_state
         )
         is_sym = sel_sym != blank
         dec_next = jnp.where(is_sym[:, None], new_dec, parent_dec)

@@ -213,11 +213,11 @@ def transducer_track(root, conf, args, t0):
         "--override", "normalize=utterance_mvn",
         "--num_att_plot", "0",
     ])
-    out = os.path.join(root, "exp/transducer/decode_devman")
     for name, extra in (("greedy", ["--beam_size", "1"]),
                         ("tsd", ["--beam_size", "4",
                                  "--transducer_search", "tsd"])):
         print(f"=== decode devman ({name}) ===", flush=True)
+        out = os.path.join(root, f"exp/transducer/decode_devman_{name}")
         decode.main([
             "--config", os.path.join(root, "exp/transducer/config.yaml"),
             "--params", os.path.join(
@@ -225,11 +225,11 @@ def transducer_track(root, conf, args, t0):
             "--data_dir", os.path.join(root, "data/devman"),
             "--output_dir", out,
         ] + extra)
-    score.main([
-        "--ref", os.path.join(out, "ref.trn"),
-        "--hyp", os.path.join(out, "hyp.trn"),
-        "--output_dir", os.path.join(out, "score"),
-    ])
+        score.main([
+            "--ref", os.path.join(out, "ref.trn"),
+            "--hyp", os.path.join(out, "hyp.trn"),
+            "--output_dir", os.path.join(out, "score"),
+        ])
     _finish(root, out, t0)
 
 
