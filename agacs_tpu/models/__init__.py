@@ -8,3 +8,17 @@ from agacs_tpu.models.whisper import (  # noqa: F401
     init_self_kv_cache,
     whisper_decode_step,
 )
+from agacs_tpu.models.transducer import (  # noqa: F401
+    TransducerConfig,
+    default_beam_search,
+    greedy_search,
+    init_transducer_params,
+    joint,
+    joint_lattice,
+    transducer_decoder,
+    transducer_decoder_step,
+)
+from agacs_tpu.models.transducer_asr import (  # noqa: F401
+    TransducerASRConfig,
+    init_transducer_asr_params,
+)
