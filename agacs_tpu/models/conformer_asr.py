@@ -57,6 +57,17 @@ class ConformerASRConfig:
     eos: int = 50257
     ignore_id: int = IGNORE_ID
 
+    def __post_init__(self):
+        v = self.decoder.vocab_size
+        if not (0 <= self.sos < v and 0 <= self.eos < v):
+            # out-of-range specials index past the embedding table and
+            # surface only as a silent nan loss — fail loudly instead
+            raise ValueError(
+                f"sos/eos ({self.sos}/{self.eos}) must lie inside the "
+                f"decoder vocab (size {v}); set sos=/eos= for non-whisper "
+                "token lists"
+            )
+
 
 def init_conformer_asr_params(rng: jax.Array, cfg: ConformerASRConfig) -> dict:
     k1, k2, k3 = jax.random.split(rng, 3)

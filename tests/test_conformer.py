@@ -210,3 +210,62 @@ def test_hybrid_train_step_decreases_loss():
     assert all(np.isfinite(losses))
     assert "loss_ctc" in stats
     assert losses[-1] < losses[0]
+
+
+def test_conformer_train_step_dp_sharded():
+    """Conformer hybrid CTC/attention family under a dp-sharded mesh
+    (GSPMD gradient reductions; reference DDP trainer.py:229-243) —
+    same coverage as the whisper and transducer families."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from agacs_tpu.models.conformer import ConformerConfig, TransformerDecoderConfig
+    from agacs_tpu.models.conformer_asr import (
+        ConformerASRConfig,
+        forward,
+        init_conformer_asr_params,
+    )
+    from agacs_tpu.ops.frontend_default import DefaultFrontendConfig
+    from agacs_tpu.parallel import make_mesh, shard_batch, shard_params
+    from agacs_tpu.train.optim import OptimConfig
+    from agacs_tpu.train.trainer import (
+        build_tx,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = ConformerASRConfig(
+        encoder=ConformerConfig(
+            input_size=20, output_size=32, attention_heads=2, linear_units=48,
+            num_blocks=2, cnn_module_kernel=7,
+        ),
+        decoder=TransformerDecoderConfig(
+            vocab_size=60, attention_heads=2, linear_units=48, num_blocks=2,
+            d_model=32,
+        ),
+        frontend=DefaultFrontendConfig(n_mels=20, n_fft=128, hop_length=64),
+        ctc_weight=0.3,
+        use_specaug=False,
+        sos=58, eos=59,  # inside the tiny 60-token vocab
+    )
+    params = init_conformer_asr_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_data=8)
+    params = shard_params(mesh, params)
+    tx, _ = build_tx(params, OptimConfig(warmup_steps=4))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, loss_fn=forward)
+
+    rng = np.random.RandomState(0)
+    batch = shard_batch(mesh, {
+        "speech": jnp.asarray(rng.randn(8, 3200).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.full((8,), 3200, jnp.int32),
+        "text": jnp.asarray(rng.randint(1, 57, (8, 5)), jnp.int32),
+    })
+    losses = []
+    for _ in range(3):
+        state, stats = step(state, batch)
+        losses.append(float(stats["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
