@@ -60,12 +60,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ngram_weight", type=float, default=0.3)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--transducer_search", default="default",
-                   choices=("default", "tsd", "alsd"),
+                   choices=("default", "tsd", "alsd", "nsc", "maes"),
                    help="beam>1 transducer search: 'default' = the "
                         "reference's default_beam_search (per-utterance, "
                         "host-side, supports --lm_exp fusion), 'tsd' / "
                         "'alsd' = batched jitted time-sync / "
-                        "align-length-sync beams (decode/transducer_tsd.py)")
+                        "align-length-sync beams (decode/transducer_tsd.py), "
+                        "'nsc' / 'maes' = N-step-constrained / modified "
+                        "adaptive expansion (host-side, "
+                        "decode/transducer_nsc.py)")
     p.add_argument("--transducer_u_max", type=int, default=50,
                    help="ALSD label-length cap (BeamSearchTransducer "
                         "u_max); raise for utterances with long "
@@ -214,10 +217,10 @@ def _decode_transducer(args, task, params, ds):
     from agacs_tpu.models.transducer import default_beam_search, greedy_search
 
     cfg = task.cfg
-    if args.transducer_search in ("tsd", "alsd") and args.beam_size > 1 \
+    if args.transducer_search != "default" and args.beam_size > 1 \
             and args.lm_exp:
         logging.warning(
-            "--lm_exp is not supported by the batched %s search; LM fusion "
+            "--lm_exp is not supported by the %s search; LM fusion "
             "is available with --transducer_search default",
             args.transducer_search,
         )
@@ -263,13 +266,29 @@ def _decode_transducer(args, task, params, ds):
         enc_np = np.asarray(enc)
         rows = []
         for k in range(enc_np.shape[0]):
-            nbest = default_beam_search(
-                params["transducer"], cfg.decoder,
-                enc_np[k, : int(enc_lens[k])], beam_size=args.beam_size,
-                lm_params=lm_params, lm_cfg=lm_cfg,
-                lm_weight=args.lm_weight if lm_params is not None else 0.0,
-                lm_sos=lm_cfg.sos if lm_cfg is not None else 50258,
-            )
+            e = enc_np[k, : int(enc_lens[k])]
+            if args.transducer_search == "nsc":
+                from agacs_tpu.decode.transducer_nsc import nsc_beam_search
+
+                nbest = nsc_beam_search(
+                    params["transducer"], cfg.decoder, e,
+                    beam_size=args.beam_size,
+                )
+            elif args.transducer_search == "maes":
+                from agacs_tpu.decode.transducer_nsc import maes_beam_search
+
+                nbest = maes_beam_search(
+                    params["transducer"], cfg.decoder, e,
+                    beam_size=args.beam_size,
+                )
+            else:
+                nbest = default_beam_search(
+                    params["transducer"], cfg.decoder, e,
+                    beam_size=args.beam_size,
+                    lm_params=lm_params, lm_cfg=lm_cfg,
+                    lm_weight=args.lm_weight if lm_params is not None else 0.0,
+                    lm_sos=lm_cfg.sos if lm_cfg is not None else 50258,
+                )
             rows.append(nbest[0][1])
         return rows
 

@@ -107,7 +107,14 @@ def test_greedy_matches_reference(overfit):
 
 @pytest.mark.parametrize(
     "search_type,kw",
-    [("default", {}), ("tsd", {"max_sym_exp": 3}), ("alsd", {"u_max": 8})],
+    [
+        ("default", {}),
+        ("tsd", {"max_sym_exp": 3}),
+        ("alsd", {"u_max": 8}),
+        ("nsc", {"nstep": 2, "prefix_alpha": 1}),
+        ("maes", {"nstep": 2, "prefix_alpha": 1, "expansion_gamma": 2.3,
+                  "expansion_beta": 2}),
+    ],
 )
 def test_beams_match_reference_1best(overfit, search_type, kw):
     cfg, params, enc, enc_lens = overfit
@@ -123,6 +130,25 @@ def test_beams_match_reference_1best(overfit, search_type, kw):
             nbest = default_beam_search(
                 params, cfg, np.asarray(enc[b, : int(enc_lens[b])]),
                 beam_size=3,
+            )
+            got = nbest[0][1]
+            got_score = nbest[0][0]
+        elif search_type == "nsc":
+            from agacs_tpu.decode.transducer_nsc import nsc_beam_search
+
+            nbest = nsc_beam_search(
+                params, cfg, np.asarray(enc[b, : int(enc_lens[b])]),
+                beam_size=3, nstep=2, prefix_alpha=1,
+            )
+            got = nbest[0][1]
+            got_score = nbest[0][0]
+        elif search_type == "maes":
+            from agacs_tpu.decode.transducer_nsc import maes_beam_search
+
+            nbest = maes_beam_search(
+                params, cfg, np.asarray(enc[b, : int(enc_lens[b])]),
+                beam_size=3, nstep=2, prefix_alpha=1,
+                expansion_gamma=2.3, expansion_beta=2,
             )
             got = nbest[0][1]
             got_score = nbest[0][0]
