@@ -64,6 +64,9 @@ class TransducerASRConfig:
             ctc_weight=1.0 if self.ctc_weight > 0 else 0.0,
             use_specaug=self.use_specaug,
             specaug=self.specaug,
+            # the transducer family never uses attention-decoder specials;
+            # keep them inside the vocab so the config validator passes
+            sos=self.decoder.blank_id, eos=self.decoder.blank_id,
         )
 
 
