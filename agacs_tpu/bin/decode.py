@@ -214,7 +214,10 @@ def _decode_transducer(args, task, params, ds):
     reference's default_beam_search per utterance (asr_inference.py:177-185
     BeamSearchTransducer)."""
     from agacs_tpu.models import transducer_asr
-    from agacs_tpu.models.transducer import default_beam_search, greedy_search
+    from agacs_tpu.models.transducer import (
+        default_beam_search,
+        greedy_search_scan,
+    )
 
     cfg = task.cfg
     if args.transducer_search != "default" and args.beam_size > 1 \
@@ -229,7 +232,7 @@ def _decode_transducer(args, task, params, ds):
         lm_params, lm_cfg = _load_lm(args)
     enc_fn = jax.jit(lambda p, s, l: transducer_asr.encode(p, cfg, s, l))
     greedy_fn = jax.jit(
-        lambda p, e, el: greedy_search(p, cfg.decoder, e, el)
+        lambda p, e, el: greedy_search_scan(p, cfg.decoder, e, el)
     )
     blank = cfg.decoder.blank_id
 

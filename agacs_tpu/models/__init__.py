@@ -12,6 +12,7 @@ from agacs_tpu.models.transducer import (  # noqa: F401
     TransducerConfig,
     default_beam_search,
     greedy_search,
+    greedy_search_scan,
     init_transducer_params,
     joint,
     joint_lattice,

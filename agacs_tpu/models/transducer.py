@@ -318,6 +318,69 @@ def _beam_step_fns(cfg: TransducerConfig):
     return step, jointf
 
 
+def greedy_search_scan(
+    params: Params,
+    cfg: TransducerConfig,
+    enc_out: jax.Array,
+    enc_lens: jax.Array,
+    max_symbols_per_frame: int = 4,
+    max_symbols: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy decoding as a lax.scan over frames: per frame, a chain of
+    up to `max_symbols_per_frame` argmax emissions, stopping at blank.
+
+    Identical to `greedy_search` (stay-until-blank semantics) whenever no
+    frame emits more than the cap — which is essentially always for
+    speech — but the static trip count lets XLA pipeline the full-vocab
+    joint at HBM speed: measured 13x faster than the while_loop form at
+    whisper-vocab recipe dims (docs/PERF.md). This is the production
+    greedy; the while_loop form remains for exact unbounded semantics.
+    """
+    bsz, t_max, _ = enc_out.shape
+    u_cap = int(max_symbols or t_max)
+
+    state0 = init_decoder_state(cfg, bsz)
+    dec0, state0 = transducer_decoder_step(
+        params, cfg, jnp.full((bsz,), cfg.blank_id, jnp.int32), state0
+    )
+
+    def frame(carry, xs):
+        tokens, n_tok, dec_out, state = carry
+        enc_t, valid = xs
+        done = ~valid
+        for _ in range(max_symbols_per_frame):
+            logits = joint(params, cfg, enc_t, dec_out)
+            best = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emit = ~done & (best != cfg.blank_id) & (n_tok < u_cap)
+            new_dec, new_state = transducer_decoder_step(
+                params, cfg, jnp.where(emit, best, cfg.blank_id), state
+            )
+            dec_out = jnp.where(emit[:, None], new_dec, dec_out)
+            state = jax.tree.map(
+                lambda ns, os: jnp.where(emit[None, :, None], ns, os),
+                new_state, state,
+            )
+            tokens = tokens.at[jnp.arange(bsz), n_tok].set(
+                jnp.where(emit, best, tokens[jnp.arange(bsz), n_tok])
+            )
+            n_tok = n_tok + emit.astype(jnp.int32)
+            done = done | ~emit
+        return (tokens, n_tok, dec_out, state), None
+
+    init = (
+        jnp.full((bsz, u_cap), cfg.blank_id, jnp.int32),
+        jnp.zeros((bsz,), jnp.int32),
+        dec0,
+        state0,
+    )
+    xs = (
+        jnp.swapaxes(enc_out, 0, 1),
+        (jnp.arange(t_max)[:, None] < enc_lens[None, :]),
+    )
+    (tokens, n_tok, _, _), _ = jax.lax.scan(frame, init, xs)
+    return tokens, n_tok
+
+
 def default_beam_search(
     params: Params,
     cfg: TransducerConfig,

@@ -176,7 +176,7 @@ def eval_step_with_greedy(params, cfg: TransducerASRConfig, batch,
     losses and the batched greedy search for CER/WER (the
     ErrorCalculatorTransducer role, espnet_model.py:131-147). Returns
     (stats, (tokens, n_emitted))."""
-    from agacs_tpu.models.transducer import greedy_search
+    from agacs_tpu.models.transducer import greedy_search_scan
 
     enc_out, enc_lens = encode(
         params, cfg, batch["speech"], batch["speech_lengths"], train=False
@@ -184,7 +184,7 @@ def eval_step_with_greedy(params, cfg: TransducerASRConfig, batch,
     _, stats = losses_from_encoder(
         params, cfg, batch, enc_out, enc_lens, train=False, rng=None
     )
-    tokens, n = greedy_search(
+    tokens, n = greedy_search_scan(
         params["transducer"], cfg.decoder, enc_out, enc_lens,
         max_symbols=max_symbols,
     )

@@ -476,3 +476,33 @@ def test_alsd_beam_search_batched():
     assert list(np.asarray(tokens2[0, 0, : int(n2[0, 0])])) == got0
     np.testing.assert_allclose(np.asarray(scores)[:, 0],
                                np.asarray(scores2)[:, 0], rtol=1e-5, atol=1e-5)
+
+
+def test_greedy_scan_matches_while_loop():
+    """The scan-form greedy (production path) matches the exact
+    while_loop greedy whenever no frame exceeds the per-frame cap."""
+    from agacs_tpu.models.transducer import greedy_search_scan
+
+    rng = np.random.RandomState(0)
+    cfg = TransducerConfig(vocab_size=8, hidden_size=16, joint_space_size=16)
+    params = init_transducer_params(jax.random.PRNGKey(3), cfg, encoder_size=6)
+    enc = jnp.asarray(rng.randn(2, 10, 6), jnp.float32)
+    enc_lens = jnp.asarray([10, 7])
+    targets = jnp.asarray([[3, 1, 4, 2], [5, 6, 0, 0]], jnp.int32)
+    u_lens = jnp.asarray([4, 2])
+    params, _ = _overfit_tiny(cfg, params, enc, enc_lens, targets, u_lens)
+
+    t_w, n_w = greedy_search(params, cfg, enc, enc_lens, max_symbols=8)
+    t_s, n_s = greedy_search_scan(params, cfg, enc, enc_lens, max_symbols=8)
+    np.testing.assert_array_equal(np.asarray(n_w), np.asarray(n_s))
+    for b in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(t_w[b, : int(n_w[b])]), np.asarray(t_s[b, : int(n_s[b])])
+        )
+
+    # untrained model too (different emission pattern)
+    p2 = init_transducer_params(jax.random.PRNGKey(11), cfg, encoder_size=6)
+    t_w, n_w = greedy_search(p2, cfg, enc, enc_lens, max_symbols=8)
+    t_s, n_s = greedy_search_scan(p2, cfg, enc, enc_lens, max_symbols=8)
+    np.testing.assert_array_equal(np.asarray(n_w), np.asarray(n_s))
+    np.testing.assert_array_equal(np.asarray(t_w), np.asarray(t_s))
