@@ -153,3 +153,15 @@ def test_beam_with_side_network():
     )
     assert np.isfinite(np.asarray(scores)).all()
     assert (np.asarray(lens) >= 3).all()
+
+
+def test_greedy_scan_loop_matches_while(setup):
+    """loop='scan' (fixed trip count, masked updates) must produce exactly
+    the while_loop greedy's tokens and lengths."""
+    params, enc = setup
+    t_w, l_w = greedy_decode(params, TINY, enc, primer=PRIMER, max_steps=10,
+                             loop="while")
+    t_s, l_s = greedy_decode(params, TINY, enc, primer=PRIMER, max_steps=10,
+                             loop="scan")
+    np.testing.assert_array_equal(np.asarray(l_w), np.asarray(l_s))
+    np.testing.assert_array_equal(np.asarray(t_w), np.asarray(t_s))
