@@ -220,7 +220,14 @@ def _decode_transducer(args, task, params, ds):
     )
 
     cfg = task.cfg
-    if args.transducer_search != "default" and args.beam_size > 1 \
+    if args.lm_exp and args.beam_size <= 1:
+        logging.warning(
+            "--lm_exp has no effect with greedy decoding (beam_size<=1); "
+            "LM fusion requires --beam_size > 1 with "
+            "--transducer_search default",
+        )
+        lm_params = lm_cfg = None
+    elif args.transducer_search != "default" and args.beam_size > 1 \
             and args.lm_exp:
         logging.warning(
             "--lm_exp is not supported by the %s search; LM fusion "

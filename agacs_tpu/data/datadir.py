@@ -116,9 +116,14 @@ def validate_data_dir(d: str, require_text: bool = True) -> list[str]:
                 problems.append(f"segments: malformed entry {u!r}")
                 continue
             rec, start, end = parts
+            try:
+                start_f, end_f = float(start), float(end)
+            except ValueError:
+                problems.append(f"segments: malformed entry {u!r}")
+                continue
             if rec not in recs:
                 problems.append(f"segments: {u} references unknown recording {rec}")
-            elif float(end) <= float(start):
+            elif end_f <= start_f:
                 problems.append(f"segments: {u} has non-positive duration")
     if "utt2spk" in files and "spk2utt" in files:
         if utt2spk_to_spk2utt(files["utt2spk"]) != dict(
@@ -147,9 +152,12 @@ def fix_data_dir(d: str) -> int:
         # drop utterances whose recording is missing (fix_data_dir.sh
         # filters segments against wav.scp before intersecting)
         recs = set(files["wav.scp"])
+        # an empty/malformed segments value (no fields) is dropped rather
+        # than raising IndexError
         keep = {
             u for u in keep
-            if files["segments"][u].split()[0] in recs
+            if files["segments"][u].split()[:1] and
+            files["segments"][u].split()[0] in recs
         }
     for name in utt_names:
         kept = {k: files[name][k] for k in sorted(keep)}

@@ -7,9 +7,10 @@ bug, SURVEY §2.1; the ESPnet path never exercises it).
 Implemented TPU-first: one jitted KV-cached greedy loop per window with
 the logit filters applied in-graph (`lax.while_loop`), host-side only for
 the sequential seek logic. Deviations from stock, documented:
-  * greedy (temperature 0) only — no temperature-fallback ladder or beam
-    in this path (use decode/beam.py for beam search with the prompt
-    primer);
+  * greedy sampling per window, with the stock temperature-fallback
+    ladder (retry at higher temperatures on compression-ratio /
+    avg-logprob failure — see `transcribe()` below); no beam in this
+    path (use decode/beam.py for beam search with the prompt primer);
   * condition_on_previous_text is off (no <|startofprev|> prompt).
 
 Timestamp rules replicated from `whisper/decoding.py` ApplyTimestampRules:

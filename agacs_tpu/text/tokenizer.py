@@ -29,10 +29,11 @@ import functools
 import os
 import string
 
+# The BPE rank table is vendored (it is data, not code — the same
+# base64 rank dump openai/tiktoken distributes); AGACS_TIKTOKEN overrides.
 DEFAULT_TIKTOKEN_PATHS = (
     os.environ.get("AGACS_TIKTOKEN", ""),
     os.path.join(os.path.dirname(__file__), "assets", "multilingual.tiktoken"),
-    "/root/reference/espnet/whisper/whisper/assets/multilingual.tiktoken",
 )
 
 # Whisper language order; index i -> token id 50259 + i.

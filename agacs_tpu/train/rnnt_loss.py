@@ -111,10 +111,12 @@ def rnnt_loss(
 
     bsz = logits.shape[0]
     bi = jnp.arange(bsz)
-    t_last = t_lens - 1
+    # a zero-length encoder sequence has no lattice path: clamp the index
+    # (so t_lens==0 does not wrap to the last frame) and zero its NLL
+    t_last = jnp.maximum(t_lens - 1, 0)
     # ll = alpha[u_len, b, t_len-1] + blank[b, t_len-1, u_len]
     ll = alpha[u_lens, bi, t_last] + blank_lp[bi, t_last, u_lens]
-    nll = -ll
+    nll = jnp.where(t_lens > 0, -ll, 0.0)
 
     if reduction == "mean":
         return jnp.mean(nll)

@@ -76,6 +76,25 @@ def test_validate_segments(tmp_path):
     assert datadir.validate_data_dir(str(d)) == []
 
 
+def test_validate_segments_malformed(tmp_path):
+    """Non-numeric / short segments lines are reported as problems, not
+    raised as ValueError/IndexError (ADVICE r2)."""
+    segs = {
+        "utt1": "rec1 0.0 1.5",
+        "utt2": "rec1 zero 3.0",   # non-numeric start
+        "utt3": "rec1",            # too few fields
+    }
+    d = tmp_path / "segbad"
+    d.mkdir()
+    write_scp(str(d / "wav.scp"), {"rec1": "/audio/rec1.wav"})
+    write_scp(str(d / "text"), {u: "hi" for u in sorted(segs)})
+    write_scp(str(d / "segments"), segs)
+    problems = datadir.validate_data_dir(str(d))
+    assert sum("malformed" in p for p in problems) == 2
+    # fix_data_dir must also not crash on the short line
+    datadir.fix_data_dir(str(d))
+
+
 def test_split_speaker_disjoint(tmp_path):
     utts = [f"s{i % 4}-u{i:02d}" for i in range(20)]
     d = _mkdir(tmp_path, "split", utts, spk=lambda u: u.split("-")[0])

@@ -71,6 +71,20 @@ def test_rnnt_loss_matches_oracle():
     assert abs(m - want.mean()) < 1e-4
 
 
+def test_rnnt_loss_zero_length_encoder():
+    """t_lens==0 must yield NLL 0 (no lattice path), not silently index
+    the last frame via -1 wraparound (ADVICE r2)."""
+    rng = np.random.RandomState(2)
+    b, t_max, u_max, v = 3, 6, 3, 5
+    logits = jnp.asarray(rng.randn(b, t_max, u_max + 1, v).astype(np.float32))
+    tgts = jnp.asarray(rng.randint(1, v, (b, u_max)))
+    t_lens = jnp.asarray([6, 0, 3])
+    u_lens = jnp.asarray([3, 0, 2])
+    nll = np.asarray(rnnt_loss(logits, tgts, t_lens, u_lens, reduction="none"))
+    assert nll[1] == 0.0
+    assert nll[0] > 0.0 and nll[2] > 0.0
+
+
 def test_rnnt_loss_grad_and_fastemit():
     rng = np.random.RandomState(1)
     b, t_max, u_max, v = 2, 8, 4, 6

@@ -25,8 +25,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+MARKER = ".agacs_rehearsal"
+
+
+def _safe_reset_root(root: str) -> None:
+    """rmtree `root` only if it is a previous rehearsal output.
+
+    Mirrors datadir.split_data_dir's refusal to clobber arbitrary
+    directories: we only delete a directory we created ourselves
+    (identified by the MARKER file this script writes).
+    """
+    if not os.path.isdir(root):
+        return
+    if not os.path.exists(os.path.join(root, MARKER)):
+        raise SystemExit(
+            f"--root {root} exists but has no {MARKER} marker; refusing to "
+            "delete a directory this script did not create. Remove it "
+            "yourself or pick a fresh path.")
+    shutil.rmtree(root)
+
+
 def build_corpus(root: str, n_train=10, n_valid=4, n_test=4, seed=0):
     from agacs_tpu.data.io import write_scp, write_wav
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, MARKER), "w") as f:
+        f.write("created by tools/tpu_recipe_rehearsal.py\n")
 
     rng = np.random.RandomState(seed)
     texts = ["我们 去 shopping", "hello 你 好", "今天 ok 吗", "我 想 eat lunch",
@@ -60,8 +84,7 @@ def main():
     conf = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "recipes", "seame", "conf")
     root = args.root
-    if os.path.isdir(root):
-        shutil.rmtree(root)
+    _safe_reset_root(root)
     t0 = time.time()
     build_corpus(root)
     if args.track == "conformer":
