@@ -25,9 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from agacs_tpu.data import ASRDataset, collate_batch, num_elements_batches
-from agacs_tpu.data.sampler import shard_batches
+from agacs_tpu.data.sampler import bucket_length
 from agacs_tpu.models.checkpoint import load_torch_whisper
 from agacs_tpu.parallel import make_mesh, shard_batch, shard_params
+from agacs_tpu.parallel.mesh import local_batch_rows
 from agacs_tpu.train.checkpoint import CheckpointManager, load_pytree_like
 from agacs_tpu.train.freeze import count_trainable
 from agacs_tpu.train.reporter import Reporter
@@ -62,6 +63,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_bins", type=int, default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--tensor_parallel", type=int, default=1)
+    p.add_argument("--batch_type", default=None,
+                   choices=["numel", "fixed_shapes"],
+                   help="overrides the config batch_type. numel = "
+                        "reference NumElementsBatchSampler packing (with "
+                        "a B grid); fixed_shapes = geometric-bucket "
+                        "packing with a CLOSED (B,S) shape set (~13 "
+                        "train-step compiles per run instead of ~100, "
+                        "tools/shape_census.py)")
     p.add_argument("--print_config", action="store_true",
                    help="dump the resolved config (abs_task.py:1019-1024) "
                         "and exit")
@@ -184,7 +193,19 @@ def main(argv: list[str] | None = None) -> dict:
     freeze = args.freeze_param or tcfg.freeze_param
 
     os.makedirs(args.exp_dir, exist_ok=True)
-    dump_resolved(os.path.join(args.exp_dir, "config.yaml"), raw)
+    if jax.process_index() == 0:
+        dump_resolved(os.path.join(args.exp_dir, "config.yaml"), raw)
+
+    # mesh first: the sampler's batch-size grid depends on the data axis
+    import math
+
+    mesh = make_mesh(n_model=args.tensor_parallel)
+    n_data = mesh.shape["data"]
+    n_proc = jax.process_count()
+    is_primary = jax.process_index() == 0
+    # B multiples of lcm(8, n_data): bounds the compiled (B,S,T) shape set
+    # and keeps every batch shardable over the data axis
+    b_grid = 8 * n_data // math.gcd(8, n_data)
 
     # data
     train_ds = ASRDataset(args.train_dir)
@@ -193,10 +214,45 @@ def main(argv: list[str] | None = None) -> dict:
 
     train_lens = collect_num_samples(train_ds)
     valid_lens = collect_num_samples(valid_ds)
-    valid_batches = num_elements_batches(valid_lens, tcfg.batch_bins)
+
+    batch_type = args.batch_type or tcfg.batch_type
+    if batch_type == "fixed_shapes":
+        from agacs_tpu.data.sampler import (
+            fixed_shape_batches,
+            geometric_s_buckets,
+        )
+
+        _sbuckets = geometric_s_buckets()
+
+        def sample_epoch(lens, shuffle=False, seed=0):
+            return fixed_shape_batches(
+                lens, tcfg.batch_bins, b_grid=b_grid,
+                shuffle_batches=shuffle, seed=seed,
+            )
+
+        def s_pad_of(mx):
+            for s in _sbuckets:
+                if mx <= s:
+                    return s
+            return _sbuckets[-1]
+    else:
+
+        def sample_epoch(lens, shuffle=False, seed=0):
+            return num_elements_batches(
+                lens, tcfg.batch_bins, b_grid=b_grid,
+                shuffle_batches=shuffle, seed=seed,
+            )
+
+        def s_pad_of(mx):
+            from agacs_tpu.data.sampler import bucket_length as _bl
+
+            return _bl(mx, 16000, 30 * 16000)
+
+    valid_batches = sample_epoch(valid_lens)
     logging.info(
-        "train: %d utts, valid: %d utts (%d batches)",
-        len(train_ds), len(valid_ds), len(valid_batches),
+        "train: %d utts, valid: %d utts (%d batches); %d process(es), "
+        "b_grid %d, batch_type %s", len(train_ds), len(valid_ds),
+        len(valid_batches), n_proc, b_grid, batch_type,
     )
 
     # model/optim
@@ -207,7 +263,6 @@ def main(argv: list[str] | None = None) -> dict:
         logging.info("loading init params from %s", init_param)
         params = load_init_params(init_param, params, cfg)
 
-    mesh = make_mesh(n_model=args.tensor_parallel)
     params = shard_params(mesh, params, tensor_parallel=args.tensor_parallel > 1)
 
     tx, mask = build_tx(params, optim_cfg, freeze_preset=freeze)
@@ -236,11 +291,14 @@ def main(argv: list[str] | None = None) -> dict:
 
     from agacs_tpu.train.observability import (
         TensorboardWriter,
+        WandbSink,
         plot_attention_epoch,
         plot_history,
     )
 
-    tb = TensorboardWriter(os.path.join(args.exp_dir, "tensorboard"))
+    tb = (TensorboardWriter(os.path.join(args.exp_dir, "tensorboard"))
+          if is_primary else None)
+    wandb_sink = WandbSink(args.exp_dir) if is_primary else None
     att_utts = valid_ds.utt_ids[: max(args.num_att_plot, 0)]
 
     train_step = make_train_step(cfg, tx, loss_fn=task.loss_fn, trainable_mask=mask)
@@ -269,11 +327,32 @@ def main(argv: list[str] | None = None) -> dict:
         nonlocal state
 
         def make_batch(utts):
-            batch = collate_batch([ds[u] for u in utts])
+            # device_put in the prefetch thread: the host->device copy
+            # overlaps the previous steps' compute. Padded shapes come
+            # from the shared length tables (NOT the loaded rows) so (a)
+            # the fixed_shapes policy controls the compiled-shape set and
+            # (b) every host of a multi-process run agrees on the global
+            # shape while collating only its own row block.
+            s_pad = s_pad_of(max(ds.num_samples(u) for u in utts))
+            t_pad = bucket_length(
+                max(ds.num_tokens(u) for u in utts), 8, None
+            )
+            if n_proc > 1:
+                # one global SPMD program on every host; batches that
+                # don't divide the data axis are loaded in full and
+                # replicated (serial tail)
+                shardable = len(utts) % n_data == 0
+                rows = (local_batch_rows(mesh, len(utts)) if shardable
+                        else slice(None))
+                batch = collate_batch(
+                    [ds[u] for u in utts[rows]], pad_to=(s_pad, t_pad)
+                )
+                batch.pop("utt_ids")
+                batch.pop("text_lengths")
+                return shard_batch(mesh, batch, process_local=shardable)
+            batch = collate_batch([ds[u] for u in utts], pad_to=(s_pad, t_pad))
             batch.pop("utt_ids")
             batch.pop("text_lengths")
-            # device_put in the prefetch thread: the host->device copy
-            # overlaps the previous steps' compute
             return shard_batch(mesh, batch)
 
         from agacs_tpu.data.prefetch import prefetch_batches
@@ -288,6 +367,18 @@ def main(argv: list[str] | None = None) -> dict:
                     else:
                         stats, preds = step_fn(state.params, batch)
                     stats = {k: float(v) for k, v in stats.items()}
+            if not is_train and preds is not None and n_proc > 1:
+                # sharded outputs span non-addressable devices; the host
+                # CER/WER pass needs the full arrays (identical on every
+                # host, keeping the reported history in lockstep)
+                from jax.experimental import multihost_utils
+
+                preds = jax.tree.map(
+                    lambda x: multihost_utils.process_allgather(x, tiled=True)
+                    if isinstance(x, jax.Array) and not x.is_fully_addressable
+                    else x,
+                    preds,
+                )
             if not is_train and preds is not None:
                 if is_transducer:
                     # preds = greedy (tokens, n_emitted): ragged CER/WER
@@ -313,15 +404,21 @@ def main(argv: list[str] | None = None) -> dict:
                     ", ".join(f"{k}={v:.4g}" for k, v in sorted(stats.items())),
                 )
 
+    bn_probe_fn = None
+    if getattr(getattr(cfg, "encoder", None), "conv_norm", "") == "batch":
+        from agacs_tpu.models.conformer_asr import bn_calibration_stats
+
+        bn_probe_fn = jax.jit(
+            lambda p, s, l: bn_calibration_stats(p, cfg, s, l)
+        )
+
     best_metric_history = []
     for epoch in range(start_epoch, tcfg.max_epoch + 1):
         t0 = time.time()
-        epoch_batches = num_elements_batches(
-            train_lens, tcfg.batch_bins, shuffle_batches=True,
-            seed=tcfg.seed + epoch,
-        )
-        epoch_batches = shard_batches(
-            epoch_batches, jax.process_index(), jax.process_count()
+        # identical on every host (shared lengths + seed): multi-host runs
+        # keep the full global list and row-slice each batch in make_batch
+        epoch_batches = sample_epoch(
+            train_lens, shuffle=True, seed=tcfg.seed + epoch
         )
 
         sub = reporter.start_epoch("train", epoch)
@@ -341,6 +438,32 @@ def main(argv: list[str] | None = None) -> dict:
                 "non-finite gradients; aborting (check lr/data)"
             )
 
+        # conformer conv BatchNorm: refresh running buffers from a few
+        # train batches before eval (the functional replacement for
+        # torch's per-step EMA; conformer.apply_bn_stats)
+        if bn_probe_fn is not None:
+            from agacs_tpu.models.conformer import apply_bn_stats
+
+            import dataclasses as _dc
+
+            probes = epoch_batches[: min(8, len(epoch_batches))]
+            acc_m = acc_v = None
+            for utts in probes:
+                batch = collate_batch([train_ds[u] for u in utts])
+                m, v = bn_probe_fn(
+                    state.params, jnp.asarray(batch["speech"]),
+                    jnp.asarray(batch["speech_lengths"]),
+                )
+                acc_m = m if acc_m is None else acc_m + m
+                acc_v = v if acc_v is None else acc_v + v
+            if acc_m is not None:
+                new_params = dict(state.params)
+                new_params["encoder"] = apply_bn_stats(
+                    state.params["encoder"],
+                    acc_m / len(probes), acc_v / len(probes),
+                )
+                state = _dc.replace(state, params=new_params)
+
         sub = reporter.start_epoch("valid", epoch)
         run_batches(valid_ds, valid_batches, sub, eval_step, False)
         valid_stats = reporter.finish_epoch(sub)
@@ -349,18 +472,27 @@ def main(argv: list[str] | None = None) -> dict:
         mgr.save_epoch(epoch, state, history)
 
         # observability sinks (trainer.py:254-265, 802+; reporter plots)
-        tb.add_scalars(epoch, {
-            f"{ph}/{k}": v
-            for ph, d in history[epoch].items() for k, v in d.items()
-        })
-        plot_history(history, os.path.join(args.exp_dir, "images"))
+        # — primary host only, like the reference's rank-0 logging
+        if is_primary:
+            tb.add_scalars(epoch, {
+                f"{ph}/{k}": v
+                for ph, d in history[epoch].items() for k, v in d.items()
+            })
+            wandb_sink.log_epoch(epoch, history[epoch])
+            plot_history(history, os.path.join(args.exp_dir, "images"))
         if att_utts and task.kind == "whisper":
-            try:
-                plot_attention_epoch(
-                    state.params, cfg, valid_ds, att_utts, args.exp_dir, epoch
-                )
-            except Exception as e:  # plotting must never kill training
-                logging.warning("attention plots failed: %s", e)
+            if n_proc > 1:
+                # the plot forward would be a collective program; running
+                # it on the primary alone would deadlock the others
+                logging.info("attention plots skipped in multi-host runs")
+            else:
+                try:
+                    plot_attention_epoch(
+                        state.params, cfg, valid_ds, att_utts, args.exp_dir,
+                        epoch,
+                    )
+                except Exception as e:  # plotting must never kill training
+                    logging.warning("attention plots failed: %s", e)
         logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
 
         # early stopping (trainer.py:459-463)
@@ -374,7 +506,16 @@ def main(argv: list[str] | None = None) -> dict:
         best_metric_history.append(valid_stats.get("acc"))
 
     avg = mgr.average_nbest(history, state.params)
-    reporter.dump(os.path.join(args.exp_dir, "train_history.json"))
+    if is_primary:
+        reporter.dump(os.path.join(args.exp_dir, "train_history.json"))
+        phase, metric, _ = tcfg.best_model_criterion
+        ave_path = os.path.join(args.exp_dir,
+                                f"{phase}.{metric}.ave.params.npz")
+        if os.path.exists(ave_path):
+            # the reference uploads the final model as a wandb artifact
+            # (trainer.py:406-414)
+            wandb_sink.log_artifact(ave_path, kind="model")
+        wandb_sink.finish()
     logging.info("done; n-best average written")
     return {"history": history, "exp_dir": args.exp_dir}
 

@@ -16,12 +16,20 @@ def collate_batch(
     speech_grid: int = 16000,
     text_grid: int = 8,
     max_speech: int | None = 30 * 16000,
+    pad_to: tuple[int, int] | None = None,
 ) -> dict:
+    """pad_to=(s_pad, t_pad) forces the padded shapes — multi-host runs
+    collate only their local row block but must pad to the GLOBAL batch's
+    shape so every host's shard agrees (bin/train.py computes it from the
+    shared length tables)."""
     b = len(items)
-    s_max = max(len(it["speech"]) for it in items)
-    s_pad = bucket_length(s_max, speech_grid, max_speech)
-    t_max = max(len(it["text"]) for it in items)
-    t_pad = bucket_length(t_max, text_grid, None)
+    if pad_to is not None:
+        s_pad, t_pad = pad_to
+    else:
+        s_max = max(len(it["speech"]) for it in items)
+        s_pad = bucket_length(s_max, speech_grid, max_speech)
+        t_max = max(len(it["text"]) for it in items)
+        t_pad = bucket_length(t_max, text_grid, None)
 
     speech = np.zeros((b, s_pad), np.float32)
     speech_lengths = np.zeros((b,), np.int32)

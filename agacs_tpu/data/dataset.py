@@ -56,6 +56,7 @@ class ASRDataset:
         else:
             self.utt_ids = [u for u in self.wav if u in self.text]
         self._shape_cache: dict[str, int] = {}
+        self._tok_len_cache: dict[str, int] = {}
         # format stage writes utt2num_samples (format_wav_scp.py:164):
         # use it instead of probing every audio header (shape collection
         # over a 100k-utterance ark dump would otherwise read ~GBs)
@@ -101,6 +102,14 @@ class ASRDataset:
         if self.cleaner is not None:
             text = self.cleaner(text)
         return self.converter.tokens2ids(self.tokenizer.text2tokens(text))
+
+    def num_tokens(self, utt_id: str) -> int:
+        """Token count without touching audio (cached) — multi-host
+        collation needs every utterance's text length to agree on the
+        global padded shape."""
+        if utt_id not in self._tok_len_cache:
+            self._tok_len_cache[utt_id] = len(self.tokenize(self.text[utt_id]))
+        return self._tok_len_cache[utt_id]
 
     def __getitem__(self, utt_id: str) -> dict:
         speech, sr = self._read_speech(utt_id)

@@ -42,6 +42,9 @@ class ConformerConfig:
     macaron_style: bool = True
     use_cnn_module: bool = True
     dropout_rate: float = 0.1
+    # "layer" (TPU-native default) or "batch" (exact espnet
+    # ConvolutionModule BatchNorm1d parity — see _conv_module)
+    conv_norm: str = "layer"
     compute_dtype: Any = jnp.float32
 
 
@@ -175,6 +178,11 @@ def init_conformer_params(rng: jax.Array, cfg: ConformerConfig) -> Params:
                 "norm": _ln(d),
                 "pw2": _lin(k3, d, d),
             }
+            if cfg.conv_norm == "batch":
+                # torch BatchNorm1d buffers ("running_" paths are never
+                # optimizer-updated — train/freeze.py excludes them)
+                p["conv"]["running_mean"] = jnp.zeros((d,), jnp.float32)
+                p["conv"]["running_var"] = jnp.ones((d,), jnp.float32)
             p["conv_ln"] = _ln(d)
         return p
 
@@ -249,9 +257,25 @@ def _rel_attn(p: Params, x: jax.Array, pos: jax.Array, key_mask: jax.Array, n_he
     return linear(out.transpose(0, 2, 1, 3).reshape(b, t, d), p["out"])
 
 
-def _conv_module(p: Params, x: jax.Array, valid: jax.Array, kernel: int):
+BN_EPS = 1e-5  # torch.nn.BatchNorm1d default
+
+
+def _conv_module(p: Params, x: jax.Array, valid: jax.Array, kernel: int,
+                 conv_norm: str = "layer", train: bool = False):
     """pointwise -> GLU -> depthwise(k) -> norm -> swish -> pointwise;
-    padded positions zeroed so the depthwise conv can't leak across them."""
+    padded positions zeroed so the depthwise conv can't leak across them.
+
+    conv_norm="batch" replicates espnet's BatchNorm1d
+    (`espnet/nets/pytorch_backend/conformer/convolution.py`) exactly:
+    biased batch statistics over ALL (B, T) positions in training —
+    including padding, the reference's own quirk — and `running_mean` /
+    `running_var` buffers at eval. Buffers are refreshed by
+    `collect_bn_stats` / `apply_bn_stats` (post-epoch recalibration, the
+    functional stand-in for torch's per-step EMA; the trainer wires it).
+
+    Returns (out, (mean, var)) — the batch stats are zeros/ones outside
+    batch-norm training so the scan carry shape is static."""
+    d = x.shape[-1]
     x = x * valid[..., None].astype(x.dtype)
     h = linear(x, p["pw1"])  # (B, T, 2d)
     a, g = jnp.split(h, 2, axis=-1)
@@ -263,15 +287,31 @@ def _conv_module(p: Params, x: jax.Array, valid: jax.Array, kernel: int):
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=h.shape[-1],
     ) + p["dw_b"].astype(h.dtype)
-    h = layer_norm(h, p["norm"])
+    if conv_norm == "batch":
+        hf = h.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(hf, axis=(0, 1))
+            var = jnp.var(hf, axis=(0, 1))  # biased, like torch train mode
+        else:
+            mean = p["running_mean"]
+            var = p["running_var"]
+        n = p["norm"]
+        hf = (hf - mean) * jax.lax.rsqrt(var + BN_EPS)
+        hf = hf * n["w"] + n["b"]
+        h = hf.astype(h.dtype)
+        stats = (mean, var) if train else (jnp.zeros((d,)), jnp.ones((d,)))
+    else:
+        h = layer_norm(h, p["norm"])
+        stats = (jnp.zeros((d,), jnp.float32), jnp.ones((d,), jnp.float32))
     h = swish(h)
-    return linear(h, p["pw2"])
+    return linear(h, p["pw2"]), stats
 
 
 def conformer_encode(
     params: Params, cfg: ConformerConfig, feats: jax.Array, ilens: jax.Array,
     rng: jax.Array | None = None,
     interctc_layers: tuple[int, ...] = (),
+    collect_bn_stats: bool = False,
 ) -> tuple[jax.Array, jax.Array] | tuple[jax.Array, jax.Array, list]:
     """(B, T, F) features -> (B, T/4, d), olens. `rng` enables dropout on
     every residual branch (train_asr_conformer.yaml: dropout_rate 0.1,
@@ -307,27 +347,62 @@ def conformer_encode(
             ),
             drop,
         )
+        bn_stats = (jnp.zeros((d,), jnp.float32), jnp.ones((d,), jnp.float32))
         if cfg.use_cnn_module:
-            h = h + dropout(
-                rs[2],
-                _conv_module(
-                    bp["conv"], layer_norm(h, bp["conv_ln"]), valid,
-                    cfg.cnn_module_kernel,
-                ),
-                drop,
+            conv_out, bn_stats = _conv_module(
+                bp["conv"], layer_norm(h, bp["conv_ln"]), valid,
+                cfg.cnn_module_kernel, conv_norm=cfg.conv_norm,
+                train=rng is not None,
             )
+            h = h + dropout(rs[2], conv_out, drop)
         h = h + 0.5 * dropout(
             rs[3], _ffn_fwd(bp["ff2"], layer_norm(h, bp["ff2_ln"])), drop
         )
         h = layer_norm(h, bp["final_ln"])
-        return (h, r), h
+        return (h, r), (h, bn_stats)
 
-    (x, _), layer_outs = jax.lax.scan(body, (x, rng_c), params["blocks"])
+    (x, _), (layer_outs, bn_stats) = jax.lax.scan(
+        body, (x, rng_c), params["blocks"]
+    )
     x = layer_norm(x, params["after_ln"])
+    if collect_bn_stats:
+        return x, olens, bn_stats
     if interctc_layers:
         inter = [(li, layer_outs[li - 1]) for li in interctc_layers]
         return x, olens, inter
     return x, olens
+
+
+def collect_bn_batch_stats(
+    params: Params, cfg: ConformerConfig, feats: jax.Array, ilens: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-block conv BatchNorm batch statistics ((L, d) mean, (L, d) var)
+    of one batch — the recalibration probe. Runs the encoder with
+    train-mode batch stats but NO dropout (rng is None would flip the
+    norm to eval, so a throwaway key with dropout_rate forced off)."""
+    import dataclasses as _dc
+
+    cfg0 = _dc.replace(cfg, dropout_rate=0.0)
+    _, _, stats = conformer_encode(
+        params, cfg0, feats, ilens, rng=jax.random.PRNGKey(0),
+        collect_bn_stats=True,
+    )
+    return stats
+
+
+def apply_bn_stats(params: Params, mean: jax.Array, var: jax.Array) -> Params:
+    """Write averaged (L, d) batch stats into the blocks'
+    running_mean/running_var buffers — the functional replacement for
+    torch BatchNorm's per-step EMA (momentum 0.1): recalibrate from a few
+    training batches after each epoch (BN recalibration à la SWA)."""
+    import copy
+
+    out = copy.copy(params)
+    out["blocks"] = dict(params["blocks"])
+    out["blocks"]["conv"] = dict(params["blocks"]["conv"])
+    out["blocks"]["conv"]["running_mean"] = jnp.asarray(mean, jnp.float32)
+    out["blocks"]["conv"]["running_var"] = jnp.asarray(var, jnp.float32)
+    return out
 
 
 def _ffn_fwd(p: Params, x: jax.Array) -> jax.Array:

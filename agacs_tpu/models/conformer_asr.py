@@ -97,8 +97,9 @@ def init_conformer_asr_params(rng: jax.Array, cfg: ConformerASRConfig) -> dict:
     return params
 
 
-def encode(params, cfg: ConformerASRConfig, speech, speech_lengths,
-           train=False, rng=None):
+def _featurize(params, cfg, speech, speech_lengths):
+    """Frontend + optional global MVN (shared by encode and the BN
+    calibration probe)."""
     import dataclasses as _dc
 
     fe_cfg = cfg.frontend
@@ -112,6 +113,12 @@ def encode(params, cfg: ConformerASRConfig, speech, speech_lengths,
         feats = global_mvn(
             feats, flens, params["mvn"]["mean"], params["mvn"]["std"]
         )
+    return feats, flens
+
+
+def encode(params, cfg: ConformerASRConfig, speech, speech_lengths,
+           train=False, rng=None):
+    feats, flens = _featurize(params, cfg, speech, speech_lengths)
     drop_rng = None
     if train and rng is not None:
         rng, drop_rng = jax.random.split(rng)
@@ -120,6 +127,18 @@ def encode(params, cfg: ConformerASRConfig, speech, speech_lengths,
     return conformer_encode(
         params["encoder"], cfg.encoder, feats, flens, rng=drop_rng
     )
+
+
+def bn_calibration_stats(params, cfg: ConformerASRConfig, speech,
+                         speech_lengths):
+    """Per-block conv-BatchNorm batch stats ((L, d) mean, (L, d) var) for
+    one raw-speech batch — no specaug, no dropout. The trainer averages
+    these over a few batches after each epoch and writes them into the
+    running buffers (conformer.apply_bn_stats)."""
+    from agacs_tpu.models.conformer import collect_bn_batch_stats
+
+    feats, flens = _featurize(params, cfg, speech, speech_lengths)
+    return collect_bn_batch_stats(params["encoder"], cfg.encoder, feats, flens)
 
 
 def forward(params, cfg: ConformerASRConfig, batch, train=True, rng=None,

@@ -128,6 +128,10 @@ WHISPER_PRESETS: dict[str, dict] = {
                    n_text_state=1024, n_text_head=16, n_text_layer=24),
     "large": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
                   n_text_state=1280, n_text_head=20, n_text_layer=32),
+    # not a real OpenAI size: a minimal config for fast CPU tests (the
+    # multi-process suite compiles the full train step in every worker)
+    "test": dict(n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+                 n_text_state=64, n_text_head=2, n_text_layer=2),
 }
 
 
@@ -802,36 +806,54 @@ def whisper_decode_step(
     pos: jax.Array,
     self_kv: Params,
     cross_kv: Params,
+    beam_groups: int = 1,
 ) -> tuple[jax.Array, Params]:
     """One AR decode step with KV cache.
 
     Args:
-      tokens: (B,) int32 current-step token ids.
+      tokens: (N,) int32 current-step token ids.
       pos: scalar int32 current position (0-based).
-      self_kv: {"k","v"} (L, B, max_len, d) caches; positions >= pos are
+      self_kv: {"k","v"} (L, N, max_len, d) caches; positions >= pos are
         ignored via masking.
       cross_kv: from `precompute_cross_kv`.
+      beam_groups: >1 when N = B·beam rows share B encoder outputs —
+        cross_kv then has batch B (NOT repeated per beam) and the cross
+        attention groups queries, reading each utterance's cross K/V
+        once per step instead of `beam` times (the dominant HBM term of
+        beam decode at T_enc=750).
 
-    Returns (logits (B, n_vocab) fp32, updated self_kv).
+    The layer loop is a STATIC Python loop, not lax.scan: scanning over
+    stacked caches forces XLA to copy every layer's full (N, max_len, d)
+    cache slice each step just to write one row (xs/ys buffers cannot
+    alias — measured 32% of beam-decode device time), while static-index
+    dynamic_update_slice on the loop carry updates in place.
+
+    Returns (logits (N, n_vocab) fp32, updated self_kv).
     """
     dec = params["decoder"]
     cfg = cfg.part("decoder")
-    b = tokens.shape[0]
+    n = tokens.shape[0]
     max_len = self_kv["k"].shape[2]
     n_head = cfg.n_text_head
     d_head = cfg.d_text_head
     scale = d_head ** -0.25
+    d = cfg.n_text_state
 
     x = dec["token_emb"][tokens] + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, 0)
-    x = x.astype(cfg.compute_dtype)[:, None, :]  # (B, 1, d)
+    x = x.astype(cfg.compute_dtype)[:, None, :]  # (N, 1, d)
 
     # key-position validity mask: positions 0..pos inclusive
     pos_ids = jnp.arange(max_len)
     key_mask = (pos_ids <= pos)[None, None, None, :]  # (1,1,1,max_len)
 
-    def body(carry, scanned):
-        h = carry
-        layer_params, ckv_k, ckv_v, kv_slice = scanned
+    x_embed = x
+    blocks = params["decoder"]["blocks"]
+    kv_k, kv_v = self_kv["k"], self_kv["v"]
+    kv_kcs = self_kv.get("k_cs")
+    trunk_outs = []
+    h = x
+    for l in range(cfg.n_text_layer):
+        layer_params = jax.tree.map(lambda a: a[l], blocks)
 
         # --- self-attention with cache ---
         p_attn = layer_params["attn"]
@@ -840,24 +862,22 @@ def whisper_decode_step(
         k_new = linear(y, p_attn["key"])
         v_new = linear(y, p_attn["value"])
 
-        k_cache = jax.lax.dynamic_update_slice(kv_slice["k"], k_new, (0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(kv_slice["v"], v_new, (0, pos, 0))
-        new_slice = {"k": k_cache, "v": v_cache}
+        kv_k = jax.lax.dynamic_update_slice(kv_k, k_new[None], (l, 0, pos, 0))
+        kv_v = jax.lax.dynamic_update_slice(kv_v, v_new[None], (l, 0, pos, 0))
 
-        qh = _split_heads(q, n_head) * scale  # (B, h, 1, dh)
-        kh = _split_heads(k_cache, n_head) * scale  # (B, h, max_len, dh)
-        vh = _split_heads(v_cache, n_head)
+        qh = _split_heads(q, n_head) * scale  # (N, h, 1, dh)
+        kh = _split_heads(kv_k[l], n_head) * scale  # (N, h, max_len, dh)
+        vh = _split_heads(kv_v[l], n_head)
         qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
         if cfg.pe_attention:
             # gated dual-QK mix (model.py:156-179) with a second key cache
             q_cs = linear(y, p_attn["query_cs"])
             k_cs_new = linear(y, p_attn["key_cs"])
-            k_cs_cache = jax.lax.dynamic_update_slice(
-                kv_slice["k_cs"], k_cs_new, (0, pos, 0)
+            kv_kcs = jax.lax.dynamic_update_slice(
+                kv_kcs, k_cs_new[None], (l, 0, pos, 0)
             )
-            new_slice["k_cs"] = k_cs_cache
             qh_cs = _split_heads(q_cs, n_head) * scale
-            kh_cs = _split_heads(k_cs_cache, n_head) * scale
+            kh_cs = _split_heads(kv_kcs[l], n_head) * scale
             qk_cs = jnp.einsum("bhqd,bhkd->bhqk", qh_cs, kh_cs).astype(jnp.float32)
             g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32)).reshape(1, n_head, 1, 1)
             qk = (1.0 - g) * qk + g * qk_cs
@@ -872,26 +892,39 @@ def whisper_decode_step(
         # --- cross-attention with precomputed K/V ---
         p_cross = layer_params["cross_attn"]
         y = layer_norm(h, layer_params["cross_attn_ln"])
-        qc = _split_heads(linear(y, p_cross["query"]), n_head) * scale
-        kc = _split_heads(ckv_k, n_head) * scale
-        vc = _split_heads(ckv_v, n_head)
-        qkc = jnp.einsum("bhqd,bhkd->bhqk", qc, kc).astype(jnp.float32)
-        wc = jax.nn.softmax(qkc, axis=-1).astype(vc.dtype)
-        cross = linear(_merge_heads(jnp.einsum("bhqk,bhkd->bhqd", wc, vc)), p_cross["out"])
+        qc_lin = linear(y, p_cross["query"])  # (N, 1, d)
+        kc = _split_heads(cross_kv["k"][l], n_head) * scale
+        vc = _split_heads(cross_kv["v"][l], n_head)
+        if beam_groups > 1:
+            bg = n // beam_groups
+            # (bg, beam, h, 1, dh) queries vs shared (bg, h, T, dh) keys
+            qcg = qc_lin.reshape(bg, beam_groups, n_head, d_head)
+            qcg = qcg.transpose(0, 2, 1, 3) * scale  # (bg, h, beam, dh)
+            qkc = jnp.einsum("bhkd,bhtd->bhkt", qcg, kc).astype(jnp.float32)
+            wc = jax.nn.softmax(qkc, axis=-1).astype(vc.dtype)
+            oc = jnp.einsum("bhkt,bhtd->bhkd", wc, vc)  # (bg, h, beam, dh)
+            oc = oc.transpose(0, 2, 1, 3).reshape(n, 1, d)
+            cross = linear(oc, p_cross["out"])
+        else:
+            qc = _split_heads(qc_lin, n_head) * scale
+            qkc = jnp.einsum("bhqd,bhkd->bhqk", qc, kc).astype(jnp.float32)
+            wc = jax.nn.softmax(qkc, axis=-1).astype(vc.dtype)
+            cross = linear(
+                _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", wc, vc)),
+                p_cross["out"],
+            )
         h = h + cross
 
         h = h + mlp_fwd(layer_params["mlp"], layer_norm(h, layer_params["mlp_ln"]))
         if cfg.adapter:
             h = adapter_fwd(layer_params["adapter_mlp"], h)
             h = layer_norm(h, layer_params["adapter_mlp_ln"])
+        trunk_outs.append(h)
 
-        return h, (new_slice, h)
-
-    x_embed = x
-    trunk_kv = {k: v for k, v in self_kv.items() if not k.startswith("side_")}
-    x, (new_kv, trunk_outs) = jax.lax.scan(
-        body, x, (params["decoder"]["blocks"], cross_kv["k"], cross_kv["v"], trunk_kv)
-    )
+    x = h
+    new_kv = {"k": kv_k, "v": kv_v}
+    if cfg.pe_attention:
+        new_kv["k_cs"] = kv_kcs
 
     if cfg.side_network is not None:
         # ladder side network replaces the trunk output head

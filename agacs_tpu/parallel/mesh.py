@@ -41,30 +41,67 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Shard the leading (batch) axis over 'data'; batches whose size does
-    not divide the data-axis length are replicated instead (correct, just
-    not parallel — happens only for ragged tail batches, and is logged).
+def local_batch_rows(mesh: Mesh, global_b: int) -> slice:
+    """The slice of global batch rows this process must load when the
+    batch is sharded over 'data'.
 
-    Multi-process: each host holds only its own slice of the global batch
-    (rank-split sampler, like DDP), so device_put onto non-addressable
-    devices would fail — use make_array_from_process_local_data, which
-    assembles the global array from per-process shards."""
+    The trainer runs ONE global program on every host (GSPMD): each step
+    all hosts agree on the same global batch (same sampler output) and
+    each loads only its contiguous row block — the TPU-native replacement
+    for the reference's DDP rank-split sampler
+    (espnet2/iterators + DistributedSampler; trainer.py:229-243). Row
+    blocks are contiguous because `make_mesh` lays devices out in
+    jax.devices() order, which sorts by process index."""
+    n_proc = jax.process_count()
+    assert global_b % n_proc == 0, (global_b, n_proc)
+    per = global_b // n_proc
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def shard_batch(mesh: Mesh, batch: Any, process_local: bool | None = None) -> Any:
+    """Place a batch on the mesh, leading axis sharded over 'data'.
+
+    Single-process: `batch` holds the full global batch; leaves whose
+    leading dim does not divide the data axis are replicated instead
+    (correct, just not parallel — only ragged tail batches, logged).
+
+    Multi-process (GSPMD, one global program on every host):
+      * process_local=True  — `batch` holds only THIS host's row block
+        (see `local_batch_rows`); the global array is assembled from the
+        per-process shards via make_array_from_process_local_data.
+      * process_local=False — `batch` holds the FULL batch on every host
+        and is replicated (the ragged-tail fallback).
+    The caller decides (bin/train.py), because a local shard and a small
+    full batch are indistinguishable by shape alone."""
     import logging
 
     n_data = mesh.shape["data"]
     data_spec = NamedSharding(mesh, P("data"))
     repl_spec = NamedSharding(mesh, P())
-    multiprocess = jax.process_count() > 1
+    n_proc = jax.process_count()
+
+    if n_proc > 1:
+        if process_local is None:
+            raise ValueError(
+                "multi-process shard_batch requires explicit process_local"
+            )
+        n_local = n_data // n_proc
+
+        def put(x):
+            x = np.asarray(x)
+            if process_local:
+                assert x.ndim >= 1 and x.shape[0] % max(n_local, 1) == 0, (
+                    f"process-local batch dim {x.shape} does not divide "
+                    f"{n_local} local data-devices"
+                )
+                return jax.make_array_from_process_local_data(data_spec, x)
+            return jax.make_array_from_process_local_data(repl_spec, x)
+
+        return jax.tree.map(put, batch)
 
     def put(x):
         ok = hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n_data == 0
-        if multiprocess:
-            # local batch must shard evenly in the multi-process regime;
-            # the per-host sampler guarantees equal batch counts/sizes.
-            return jax.make_array_from_process_local_data(
-                data_spec if ok else repl_spec, np.asarray(x)
-            )
         if not ok and hasattr(x, "shape") and x.ndim >= 1:
             logging.debug(
                 "shard_batch: leading dim %d %% %d != 0 — replicating "
@@ -107,7 +144,15 @@ def param_sharding_rules(path: str, shape: tuple) -> P:
 
 
 def shard_params(mesh: Mesh, params: Any, tensor_parallel: bool = False) -> Any:
-    """Place params on the mesh: replicated (pure dp) or tp-sharded."""
+    """Place params on the mesh: replicated (pure dp) or tp-sharded.
+
+    A tp rule whose target dim does not divide the model axis is dropped
+    (XLA GSPMD requires even sharding) — loudly: each drop is
+    logging.warning'd, and `shard_summary` lets callers assert what
+    actually got partitioned (the multichip dryrun fails if a rule was
+    dropped unexpectedly)."""
+    import logging
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
 
     def name(kp):
@@ -116,7 +161,6 @@ def shard_params(mesh: Mesh, params: Any, tensor_parallel: bool = False) -> Any:
     out = []
     for kp, leaf in flat:
         spec = param_sharding_rules(name(kp), leaf.shape) if tensor_parallel else P()
-        # drop specs that don't divide the dim evenly (small models/tests)
         if tensor_parallel and spec != P():
             n_model = mesh.shape["model"]
             ok = all(
@@ -124,6 +168,27 @@ def shard_params(mesh: Mesh, params: Any, tensor_parallel: bool = False) -> Any:
                 for i, s in enumerate(spec)
             )
             if not ok:
+                logging.warning(
+                    "shard_params: tp rule %s dropped for %s %s (dim not "
+                    "divisible by model axis %d) — parameter is REPLICATED",
+                    spec, name(kp), leaf.shape, n_model,
+                )
                 spec = P()
         out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def shard_summary(params: Any) -> dict[str, list[str]]:
+    """{'partitioned': [path ...], 'replicated': [path ...]} over the
+    param pytree's actual post-placement shardings."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+
+    def name(kp):
+        return ".".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    out: dict[str, list[str]] = {"partitioned": [], "replicated": []}
+    for kp, leaf in flat:
+        sh = getattr(leaf, "sharding", None)
+        replicated = sh is None or sh.is_fully_replicated
+        out["replicated" if replicated else "partitioned"].append(name(kp))
+    return out

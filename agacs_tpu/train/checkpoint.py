@@ -97,6 +97,24 @@ def load_opt_state_like(path: str, template: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def _to_host_replicated(tree: Any) -> Any:
+    """Make every leaf host-materializable: leaves sharded across
+    non-addressable devices (multi-host tensor parallelism) are
+    allgathered onto every host through a compiled identity with a
+    replicated out-sharding; already-replicated or local leaves pass
+    through."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def conv(x):
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.is_fully_replicated):
+            sh = NamedSharding(x.sharding.mesh, PartitionSpec())
+            x = jax.jit(lambda a: a, out_shardings=sh)(x)
+        return x
+
+    return jax.tree.map(conv, tree)
+
+
 class CheckpointManager:
     """Experiment-dir layout:
 
@@ -121,6 +139,11 @@ class CheckpointManager:
         self.keep_nbest = keep_nbest
         self.criterion = tuple(criterion)
         self.backend = backend
+        # multi-host: npz writes happen on the primary only (params must
+        # be replicated/addressable there); orbax saves are collective —
+        # every process calls save/restore, orbax coordinates the shards.
+        # Metadata/prune are primary-only under both backends.
+        self._primary = jax.process_index() == 0
         os.makedirs(exp_dir, exist_ok=True)
         self._orbax = None
         if backend == "orbax":
@@ -135,11 +158,9 @@ class CheckpointManager:
 
     def _save_tree(self, path: str, tree) -> None:
         if self.backend == "orbax":
-            import shutil
-
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            self._orbax.save(os.path.abspath(path), tree)
+            # force=True overwrites atomically inside orbax — safe under
+            # multi-host (a manual rmtree would race between processes)
+            self._orbax.save(os.path.abspath(path), tree, force=True)
         else:
             save_pytree(path, tree)
 
@@ -147,10 +168,18 @@ class CheckpointManager:
         if self.backend == "orbax":
             import jax.numpy as jnp
 
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template
+            def abstract(x):
+                sh = getattr(x, "sharding", None)
+                # restoring with the template's sharding puts every shard
+                # straight onto its devices (multi-host / tp) and avoids
+                # orbax's from-file sharding inference warning
+                if isinstance(sh, jax.sharding.NamedSharding):
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+                return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+            restored = self._orbax.restore(
+                os.path.abspath(path), jax.tree.map(abstract, template)
             )
-            restored = self._orbax.restore(os.path.abspath(path), abstract)
             return jax.tree.map(lambda x, t: jnp.asarray(x, t.dtype),
                                 restored, template)
         return load_pytree_like(path, template)
@@ -160,14 +189,25 @@ class CheckpointManager:
 
     def save_epoch(self, epoch: int, state, history: dict) -> None:
         """history: {epoch: {"valid": {...}, "train": {...}}}."""
-        self._save_tree(self._params_path(f"{epoch}epoch.params"), state.params)
-        self._save_tree(self._params_path("checkpoint.params"), state.params)
         if self.backend == "orbax":
-            self._save_tree(self._params_path("checkpoint.opt"), state.opt_state)
-        else:
+            # collective: every process participates, orbax coordinates
+            self._save_tree(self._params_path(f"{epoch}epoch.params"),
+                            state.params)
+            self._save_tree(self._params_path("checkpoint.params"),
+                            state.params)
+            self._save_tree(self._params_path("checkpoint.opt"),
+                            state.opt_state)
+        elif self._primary:
+            self._save_tree(self._params_path(f"{epoch}epoch.params"),
+                            state.params)
+            self._save_tree(self._params_path("checkpoint.params"),
+                            state.params)
             save_opt_state(
-                os.path.join(self.exp_dir, "checkpoint.opt.npz"), state.opt_state
+                os.path.join(self.exp_dir, "checkpoint.opt.npz"),
+                state.opt_state,
             )
+        if not self._primary:
+            return
         meta = {
             "epoch": epoch,
             "step": int(state.step),
@@ -249,12 +289,20 @@ class CheckpointManager:
     def average_nbest(self, history: dict, template) -> Any:
         """Mean of the n best epochs' params -> valid.acc.ave
         (average_nbest_models.py). Always ALSO writes the portable npz
-        artifact (decode CLIs read it regardless of backend)."""
+        artifact (decode CLIs read it regardless of backend).
+
+        Multi-host: npz backend loads/averages on the primary only (the
+        files were written there); orbax restores collectively on every
+        process, tp-sharded leaves are allgathered via a compiled
+        identity, and the primary writes the npz."""
+        if self.backend != "orbax" and not self._primary:
+            return None
         eps = self._ranked_epochs(history)[: self.keep_nbest]
         assert eps, "no scored epochs to average"
         acc = None
         for ep in eps:
             p = self._load_tree(self._params_path(f"{ep}epoch.params"), template)
+            p = _to_host_replicated(p)
             if acc is None:
                 acc = jax.tree.map(lambda x: np.asarray(x, np.float32), p)
             else:
@@ -263,6 +311,9 @@ class CheckpointManager:
                 )
         avg = jax.tree.map(lambda a: a / len(eps), acc)
         phase, metric, _ = self.criterion
-        out = os.path.join(self.exp_dir, f"{phase}.{metric}.ave.params.npz")
-        save_pytree(out, avg)
+        if self._primary:
+            out = os.path.join(
+                self.exp_dir, f"{phase}.{metric}.ave.params.npz"
+            )
+            save_pytree(out, avg)
         return avg

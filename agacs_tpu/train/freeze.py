@@ -56,16 +56,27 @@ PRESETS: dict[str, Callable[[str], bool]] = {
 def trainable_mask(params, preset: str | list[str] | None):
     """Boolean mask pytree (True = trainable) for a freeze preset name, or
     a list of path prefixes to freeze (the reference's generic fallback,
-    abs_task.py:1220-1222)."""
+    abs_task.py:1220-1222).
+
+    Leaves whose path contains 'running_' (BatchNorm buffers) are NEVER
+    trainable under any preset — they are torch-style buffers, updated by
+    recalibration, and must not receive optimizer weight decay."""
+
+    def with_buffers(pred):
+        return lambda n: pred(n) and "running_" not in n
+
     if preset in (None, "", []):
-        return jax.tree.map(lambda _: True, params)
+        return _paths_mask(params, with_buffers(lambda n: True))
     if isinstance(preset, str):
         if preset not in PRESETS:
             raise KeyError(f"unknown freeze preset {preset!r}; have {sorted(PRESETS)}")
-        return _paths_mask(params, PRESETS[preset])
+        return _paths_mask(params, with_buffers(PRESETS[preset]))
     prefixes = tuple(preset)
     return _paths_mask(
-        params, lambda n: not any(n == p or n.startswith(p + ".") for p in prefixes)
+        params,
+        with_buffers(
+            lambda n: not any(n == p or n.startswith(p + ".") for p in prefixes)
+        ),
     )
 
 

@@ -1,13 +1,20 @@
 """Observability sinks: TensorBoard event files, matplotlib training
-curves, per-epoch attention-map plots.
+curves, per-epoch attention-map plots, and a wandb-compatible metrics
+exporter.
 
 The reference emits per-epoch metrics to TensorBoard
 (`espnet2/train/trainer.py:254-265`), matplotlib curves
-(`reporter.matplotlib_plot`) and attention-map PNGs (`trainer.py:802+`,
-`--num_att_plot`). This module provides the same sinks without torch or
-the tensorboard package: the event-file format (TFRecord framing with
-masked CRC-32C + a hand-rolled minimal protobuf encoding of
-Event/Summary) is written directly.
+(`reporter.matplotlib_plot`), attention-map PNGs (`trainer.py:802+`,
+`--num_att_plot`) and wandb incl. model artifacts
+(`trainer.py:397-415`). This module provides the same sinks without
+torch or the tensorboard package: the event-file format (TFRecord
+framing with masked CRC-32C + a hand-rolled minimal protobuf encoding of
+Event/Summary) is written directly, and `WandbSink` logs to the real
+wandb package when it is installed or to a run-dir `metrics.jsonl` +
+artifact manifest otherwise (this image has no wandb and zero egress, so
+the offline JSONL form is what runs here; the schema matches what
+`wandb.log` would receive, so the day wandb exists the same calls
+upload).
 """
 
 from __future__ import annotations
@@ -207,6 +214,74 @@ def _parse_event(data: bytes) -> dict:
 
 
 # --------------------------------------------------------- matplotlib curves
+
+class WandbSink:
+    """The reference's wandb sink (`espnet2/train/trainer.py:397-415`):
+    per-epoch metric dict + model-file artifacts.
+
+    Backend resolution: the real `wandb` package if importable (init'd
+    with project/run-name like the reference's `--use_wandb`), else an
+    offline JSONL writer — one `{"epoch": N, "<phase>/<metric>": v, ...}`
+    object per epoch in `<exp_dir>/metrics.jsonl` plus an
+    `artifacts.json` manifest for `log_artifact` calls. The offline files
+    use wandb's flat `phase/metric` key convention so they can be
+    replayed into a real run (`wandb.log(json.loads(line))`).
+    """
+
+    def __init__(self, exp_dir: str, project: str = "agacs_tpu",
+                 name: str | None = None):
+        self.exp_dir = exp_dir
+        self._wandb = None
+        try:
+            import wandb  # optional; absent in this image
+
+            self._wandb = wandb
+            wandb.init(project=project,
+                       name=name or os.path.basename(exp_dir),
+                       dir=exp_dir)
+        except Exception:
+            os.makedirs(exp_dir, exist_ok=True)
+        self._jsonl = os.path.join(exp_dir, "metrics.jsonl")
+        self._manifest = os.path.join(exp_dir, "artifacts.json")
+
+    def log_epoch(self, epoch: int, history_epoch: dict) -> None:
+        """history_epoch: {"train": {...}, "valid": {...}} for one epoch."""
+        import json
+
+        flat = {"epoch": epoch}
+        for phase, metrics in history_epoch.items():
+            for k, v in metrics.items():
+                flat[f"{phase}/{k}"] = float(v)
+        if self._wandb is not None:
+            self._wandb.log(flat, step=epoch)
+        with open(self._jsonl, "a") as f:
+            f.write(json.dumps(flat) + "\n")
+
+    def log_artifact(self, path: str, kind: str = "model") -> None:
+        """Register a produced file (checkpoint, averaged params) — the
+        reference uploads these as wandb artifacts (trainer.py:406-414)."""
+        import json
+
+        entry = {"path": os.path.abspath(path), "kind": kind,
+                 "logged_at": time.time()}
+        if self._wandb is not None:
+            art = self._wandb.Artifact(
+                os.path.basename(path).replace(".", "_"), type=kind
+            )
+            art.add_file(path)
+            self._wandb.log_artifact(art)
+        manifest = []
+        if os.path.exists(self._manifest):
+            with open(self._manifest) as f:
+                manifest = json.load(f)
+        manifest.append(entry)
+        with open(self._manifest, "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    def finish(self) -> None:
+        if self._wandb is not None:
+            self._wandb.finish()
+
 
 def plot_history(history: dict, out_dir: str) -> list[str]:
     """Per-metric PNG curves over epochs, train/valid lines together

@@ -190,6 +190,7 @@ def task_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> Task:
             cnn_module_kernel=int(enc_conf.get("cnn_module_kernel", 15)),
             macaron_style=bool(enc_conf.get("macaron_style", True)),
             use_cnn_module=bool(enc_conf.get("use_cnn_module", True)),
+            conv_norm=str(enc_conf.get("conv_norm", "layer")),
             compute_dtype=compute_dtype,
         )
         dec = TransformerDecoderConfig(

