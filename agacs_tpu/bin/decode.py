@@ -48,6 +48,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="generated-token cap; 0 = derive from maxlenratio "
                         "(0.0 -> encoder frame count, beam_search.py:365)")
     p.add_argument("--maxlenratio", type=float, default=0.0)
+    p.add_argument("--decode_loop", default="scan",
+                   choices=["scan", "while"],
+                   help="AR loop form: scan (fixed trip count — the fast "
+                        "TPU form, XLA pipelines the per-step matmuls) or "
+                        "while (early exit; only wins when the step cap "
+                        "is far above real hypothesis lengths)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--length_bonus", type=float, default=0.0)
     p.add_argument("--ctc_weight", type=float, default=0.3,
@@ -199,6 +205,7 @@ def _decode_conformer(args, task, params, ds):
             ctc_weight=args.ctc_weight if ctc_logp is not None else 0.0,
             lm_weight=args.lm_weight if lm_params is not None else 0.0,
             length_bonus=args.length_bonus,
+            loop=args.decode_loop,
         )
         tokens, lens_out = np.asarray(tokens), np.asarray(lens_out)
         return [
@@ -322,6 +329,7 @@ def _decode_whisper(args, task, params, ds):
         lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=args.lm_weight,
         ngram_lm=ngram_lm,
         ngram_weight=args.ngram_weight if ngram_lm is not None else 0.0,
+        loop=args.decode_loop,
     )
     hyps, refs = {}, {}
     utts = sorted(ds.utt_ids, key=ds.num_samples)

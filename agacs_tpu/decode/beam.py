@@ -38,7 +38,7 @@ NEG_INF = -1.0e30
     static_argnames=(
         "cfg", "beam_size", "primer", "max_steps", "eot", "length_bonus",
         "ctc_weight", "lm_cfg", "lm_weight", "ngram_weight", "pre_beam",
-        "use_end_detect",
+        "use_end_detect", "loop",
     ),
 )
 def beam_decode(
@@ -60,6 +60,7 @@ def beam_decode(
     ngram_weight: float = 0.0,
     pre_beam: int = 0,
     use_end_detect: bool = True,
+    loop: str = "while",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (tokens (B, n_primer+max_steps+1), lengths (B,), scores (B,))
     for the best ended hypothesis per utterance.
@@ -72,12 +73,23 @@ def beam_decode(
     n_primer = len(primer)
     max_ctx = min(cfg.n_text_ctx, n_primer + max_steps)
 
-    enc_rep = jnp.repeat(enc_out, k, axis=0)
-    cross_kv = precompute_cross_kv(params, cfg, enc_rep)
+    if cfg.side_network is None:
+        # beams share each utterance's cross K/V (no per-beam repeat):
+        # the cross-attention reads are the dominant HBM term of beam
+        # decode at T_enc=750, and this cuts them by the beam factor
+        cross_kv = precompute_cross_kv(params, cfg, enc_out)
+        groups = k
+    else:
+        # the side-ladder caches are keyed per decoding row; keep the
+        # repeated layout there
+        cross_kv = precompute_cross_kv(params, cfg, jnp.repeat(enc_out, k, axis=0))
+        groups = 1
     self_kv = init_self_kv_cache(cfg, batch=b * k, max_len=max_ctx)
 
     def step(cur, pos, kv):
-        return whisper_decode_step(params, cfg, cur, pos, kv, cross_kv)
+        return whisper_decode_step(
+            params, cfg, cur, pos, kv, cross_kv, beam_groups=groups
+        )
 
     lm_step = lm_state0 = None
     if lm_params is not None and lm_weight > 0.0:
@@ -104,5 +116,5 @@ def beam_decode(
         ctc_frame_lens=ctc_frame_lens, pre_beam=pre_beam,
         lm_step_fn=lm_step, lm_state0=lm_state0, lm_weight=lm_weight,
         ngram_step_fn=ngram_step, ngram_weight=ngram_weight,
-        use_end_detect=use_end_detect,
+        use_end_detect=use_end_detect, loop=loop,
     )

@@ -69,6 +69,7 @@ def composed_beam_decode(
     ngram_step_fn=None,
     ngram_weight: float = 0.0,
     use_end_detect: bool = True,
+    loop: str = "while",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (tokens (B, n_primer+max_steps+1), lengths (B,), scores (B,)).
 
@@ -77,6 +78,13 @@ def composed_beam_decode(
     caps the loop at the decoder context (n_text_ctx-1 positions).
     ctc_logp: (B, T, V) frame log-probs; enables the CTC partial scorer
     together with ctc_weight > 0.
+
+    loop: "while" exits as soon as every utterance stops; "scan" always
+    runs to the step cap with stopped rows frozen — identical results.
+    On this TPU backend scan is the fast form: a while_loop's dynamic
+    trip count blocks XLA from pipelining the full-vocab matmuls across
+    steps (docs/PERF.md round-2 while-vs-scan finding), so prefer scan
+    whenever the cap is close to the real hypothesis length.
     """
     from agacs_tpu.decode.ctc_prefix import (
         CTCPrefixState,
@@ -114,12 +122,25 @@ def composed_beam_decode(
     tokens0 = jnp.full((b, k, total), eot, jnp.int32)
     tokens0 = tokens0.at[:, :, :n_primer].set(jnp.asarray(primer, jnp.int32))
 
+    # ---- primer prefill, statically unrolled: force tokens 0..n_primer-2
+    # through the decoder/LM caches at zero score (asr_inference.py:319-331
+    # hyp primer). Keeping this out of the search loop removes the
+    # in-primer lax.cond from the hot path; the loop starts at
+    # pos = n_primer-1, whose logits select the first searched token.
+    dec_state0_p = dec_state0
+    lm_state0_p = lm_state0
+    for p in range(n_primer - 1):
+        cur_p = jnp.full((b * k,), primer[p], jnp.int32)
+        _, dec_state0_p = step_fn(cur_p, p, dec_state0_p)
+        if use_lm:
+            _, lm_state0_p = lm_step_fn(cur_p, p, lm_state0_p)
+
     carry0 = {
-        "pos": jnp.int32(0),
+        "pos": jnp.int32(n_primer - 1),
         "tokens": tokens0,
         "scores": jnp.full((b, k), NEG_INF, jnp.float32).at[:, 0].set(0.0),
-        "dec": dec_state0,
-        "lm": lm_state0,
+        "dec": dec_state0_p,
+        "lm": lm_state0_p,
         "ctc": ctc_state0,
         "ended_scores": jnp.full((b, k), NEG_INF, jnp.float32),
         "ended_tokens": jnp.full((b, k, total), eot, jnp.int32),
@@ -149,23 +170,6 @@ def composed_beam_decode(
             full = full + ngram_weight * ngram_step_fn(
                 tokens.reshape(b * k, total), pos
             )
-
-        in_primer = pos + 1 < n_primer
-
-        def primer_step(_):
-            forced = jnp.asarray(primer, jnp.int32)[
-                jnp.minimum(pos + 1, n_primer - 1)
-            ]
-            tokens_new = jax.lax.dynamic_update_slice(
-                tokens, jnp.full((b, k, 1), forced, jnp.int32), (0, 0, pos + 1)
-            )
-            return {
-                **carry,
-                "pos": pos + 1,
-                "tokens": tokens_new,
-                "dec": dec_state,
-                "lm": lm_state,
-            }
 
         def search_step(_):
             ctc_state = carry["ctc"]
@@ -299,9 +303,15 @@ def composed_beam_decode(
                 "stopped": stopped,
             }
 
-        return jax.lax.cond(in_primer, primer_step, search_step, None)
+        return search_step(None)
 
-    out = jax.lax.while_loop(cond, body, carry0)
+    if loop == "scan":
+        n_scan = max(0, int(limit) - (n_primer - 1))
+        out, _ = jax.lax.scan(
+            lambda c, _: (body(c), None), carry0, None, length=n_scan
+        )
+    else:
+        out = jax.lax.while_loop(cond, body, carry0)
 
     # "adding <eos> in the last position": merge live beams (eot appended,
     # score unchanged) into the ended pool, then pick the best ended. Rows

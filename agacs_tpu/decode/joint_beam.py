@@ -32,6 +32,7 @@ NEG_INF = -1.0e30
     static_argnames=(
         "dec_cfg", "beam_size", "pre_beam", "max_steps", "sos", "eos",
         "ctc_weight", "lm_weight", "length_bonus", "lm_cfg", "use_end_detect",
+        "loop",
     ),
 )
 def joint_beam_decode(
@@ -52,6 +53,7 @@ def joint_beam_decode(
     lm_weight: float = 0.0,
     length_bonus: float = 0.0,
     use_end_detect: bool = True,
+    loop: str = "while",
 ):
     """Returns (tokens (B, max_steps+2), lengths (B,), scores (B,)).
 
@@ -95,5 +97,5 @@ def joint_beam_decode(
         ctc_weight=ctc_weight, ctc_logp=ctc_logp,
         ctc_frame_lens=ctc_frame_lens, pre_beam=pre_beam,
         lm_step_fn=lm_step, lm_state0=lm_state0, lm_weight=lm_weight,
-        use_end_detect=use_end_detect,
+        use_end_detect=use_end_detect, loop=loop,
     )

@@ -62,6 +62,7 @@ class Speech2Text:
         pre_beam: int = 0,
         use_end_detect: bool = True,
         primer: tuple[int, ...] = WHISPER_CS_PRIMER,
+        loop: str = "scan",
     ):
         self.params = params
         self.cfg = cfg
@@ -79,6 +80,7 @@ class Speech2Text:
         self.pre_beam = pre_beam
         self.use_end_detect = use_end_detect
         self.primer = tuple(primer)
+        self.loop = loop
         self._audio_seconds = 0.0
         self._decode_seconds = 0.0
 
@@ -148,7 +150,7 @@ class Speech2Text:
         if simple:
             tokens, lens = greedy_decode(
                 self.params, self.cfg.whisper, enc,
-                primer=self.primer, max_steps=max_steps,
+                primer=self.primer, max_steps=max_steps, loop=self.loop,
             )
             scores = jnp.zeros((b,), jnp.float32)
         else:
@@ -167,7 +169,7 @@ class Speech2Text:
                 lm_weight=self.lm_weight,
                 ngram_lm=self.ngram_lm, ngram_weight=self.ngram_weight,
                 pre_beam=self.pre_beam,
-                use_end_detect=self.use_end_detect,
+                use_end_detect=self.use_end_detect, loop=self.loop,
             )
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)

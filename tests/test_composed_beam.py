@@ -145,6 +145,30 @@ def test_composition_parity_attention_only(setup):
     np.testing.assert_allclose(float(scores[0]), ref_score, atol=2e-3)
 
 
+def test_scan_loop_matches_while(setup):
+    """loop='scan' (fixed trip count, the fast TPU form) must reproduce
+    the while_loop results exactly — full composition, both with and
+    without end detection."""
+    params, enc, ctc_logp, lm_params = setup
+    for use_ed in (False, True):
+        outs = {}
+        for loop in ("while", "scan"):
+            tokens, lens, scores = beam_decode(
+                params, CFG, enc, beam_size=3, primer=PRIMER, max_steps=6,
+                eot=EOT, ctc_weight=0.3, lm_weight=0.3, length_bonus=0.1,
+                ctc_logp=ctc_logp, lm_params=lm_params, lm_cfg=LM_CFG,
+                pre_beam=6, use_end_detect=use_ed, loop=loop,
+            )
+            outs[loop] = (
+                np.asarray(tokens)[0, : int(lens[0])].tolist(),
+                float(scores[0]),
+            )
+        assert outs["scan"][0] == outs["while"][0], (use_ed, outs)
+        np.testing.assert_allclose(
+            outs["scan"][1], outs["while"][1], atol=1e-5
+        )
+
+
 def test_end_detect_and_live_discard():
     """Core semantics with a stub stepper: an early ending + a live path
     inflated by length bonus. With end detection the search stops and the
