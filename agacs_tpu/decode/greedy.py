@@ -36,7 +36,7 @@ def greedy_decode(
     primer: tuple[int, ...] = WHISPER_CS_PRIMER,
     max_steps: int = 200,
     eot: int = 50257,
-    loop: str = "while",
+    loop: str = "scan",
 ) -> tuple[jax.Array, jax.Array]:
     """Greedy decode a batch of encoded utterances.
 
@@ -45,12 +45,12 @@ def greedy_decode(
       primer: forced prompt token ids.
       max_steps: generated-token cap (the reference caps the decoder
         context at 448, whisper_decoder.py:197-198).
-      loop: "while" exits as soon as every utterance hits eot; "scan"
-        always runs the full step count with masked updates — no early
-        exit, but the static trip count lets XLA pipeline the decoder
-        step (the transducer measurement showed ~40x per-step gains for
-        full-vocab matmuls inside while_loops; pick by measured
-        crossover for the batch/length regime).
+      loop: "scan" (default) always runs the full step count with masked
+        updates — the static trip count lets XLA pipeline the decoder
+        step (measured ~40x per-step gains for full-vocab matmuls vs
+        while_loops, docs/PERF.md); "while" exits as soon as every
+        utterance hits eot, which only wins when max_steps is far above
+        real hypothesis lengths.
 
     Returns:
       tokens: (B, len(primer) + max_steps) int32; positions after each

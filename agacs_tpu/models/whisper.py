@@ -825,8 +825,14 @@ def whisper_decode_step(
     The layer loop is a STATIC Python loop, not lax.scan: scanning over
     stacked caches forces XLA to copy every layer's full (N, max_len, d)
     cache slice each step just to write one row (xs/ys buffers cannot
-    alias — measured 32% of beam-decode device time), while static-index
-    dynamic_update_slice on the loop carry updates in place.
+    alias — measured 32% of beam-decode device time). Cache writes are
+    further DEFERRED: each layer attends to the (stale) cache plus the
+    current token's fresh k/v separately (cache rows >= pos are zeros,
+    so the einsum over the cache contributes nothing there), and all
+    layers' rows land in ONE stacked dynamic_update_slice per k/v buffer
+    at the end of the step — a single write with a single consumer
+    chain, which XLA can update in place instead of 2·L per-layer
+    slice copies.
 
     Returns (logits (N, n_vocab) fp32, updated self_kv).
     """
@@ -850,40 +856,58 @@ def whisper_decode_step(
     blocks = params["decoder"]["blocks"]
     kv_k, kv_v = self_kv["k"], self_kv["v"]
     kv_kcs = self_kv.get("k_cs")
+    at_pos = (pos_ids == pos)[None, None, None, :]  # (1,1,1,max_len)
+    new_ks, new_vs, new_kcs = [], [], []
     trunk_outs = []
     h = x
     for l in range(cfg.n_text_layer):
         layer_params = jax.tree.map(lambda a: a[l], blocks)
 
-        # --- self-attention with cache ---
+        # --- self-attention: stale cache + fresh current-token k/v ---
         p_attn = layer_params["attn"]
         y = layer_norm(h, layer_params["attn_ln"])
         q = linear(y, p_attn["query"])
-        k_new = linear(y, p_attn["key"])
+        k_new = linear(y, p_attn["key"])  # (N, 1, d)
         v_new = linear(y, p_attn["value"])
-
-        kv_k = jax.lax.dynamic_update_slice(kv_k, k_new[None], (l, 0, pos, 0))
-        kv_v = jax.lax.dynamic_update_slice(kv_v, v_new[None], (l, 0, pos, 0))
+        new_ks.append(k_new)
+        new_vs.append(v_new)
 
         qh = _split_heads(q, n_head) * scale  # (N, h, 1, dh)
         kh = _split_heads(kv_k[l], n_head) * scale  # (N, h, max_len, dh)
         vh = _split_heads(kv_v[l], n_head)
+        k_new_h = _split_heads(k_new, n_head) * scale  # (N, h, 1, dh)
+        v_new_h = _split_heads(v_new, n_head)
         qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+        qk_self = jnp.sum(qh * k_new_h, axis=-1, keepdims=True).astype(
+            jnp.float32
+        )  # (N, h, 1, 1)
+        qk = jnp.where(at_pos, qk_self, qk)
         if cfg.pe_attention:
             # gated dual-QK mix (model.py:156-179) with a second key cache
             q_cs = linear(y, p_attn["query_cs"])
             k_cs_new = linear(y, p_attn["key_cs"])
-            kv_kcs = jax.lax.dynamic_update_slice(
-                kv_kcs, k_cs_new[None], (l, 0, pos, 0)
-            )
+            new_kcs.append(k_cs_new)
             qh_cs = _split_heads(q_cs, n_head) * scale
             kh_cs = _split_heads(kv_kcs[l], n_head) * scale
+            k_cs_new_h = _split_heads(k_cs_new, n_head) * scale
             qk_cs = jnp.einsum("bhqd,bhkd->bhqk", qh_cs, kh_cs).astype(jnp.float32)
+            qk_cs_self = jnp.sum(
+                qh_cs * k_cs_new_h, axis=-1, keepdims=True
+            ).astype(jnp.float32)
+            qk_cs = jnp.where(at_pos, qk_cs_self, qk_cs)
             g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32)).reshape(1, n_head, 1, 1)
             qk = (1.0 - g) * qk + g * qk_cs
         qk = jnp.where(key_mask, qk, -jnp.inf)
         w = jax.nn.softmax(qk, axis=-1).astype(vh.dtype)
-        attn = linear(_merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, vh)), p_attn["out"])
+        # cache rows >= pos are zeros, so the cache einsum contributes
+        # nothing at the current position; add w[pos]·v_new explicitly
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        w_pos = jnp.sum(
+            jnp.where(at_pos, w.astype(jnp.float32), 0.0), axis=-1,
+            keepdims=True,
+        ).astype(v_new_h.dtype)  # (N, h, 1, 1)
+        o = o + w_pos * v_new_h
+        attn = linear(_merge_heads(o), p_attn["out"])
         h = h + attn
         if cfg.adapter:
             h = adapter_fwd(layer_params["adapter_attn"], h)
@@ -922,8 +946,18 @@ def whisper_decode_step(
         trunk_outs.append(h)
 
     x = h
+    # single stacked write per buffer: (L, N, 1, d) rows at position pos
+    kv_k = jax.lax.dynamic_update_slice(
+        kv_k, jnp.stack(new_ks), (0, 0, pos, 0)
+    )
+    kv_v = jax.lax.dynamic_update_slice(
+        kv_v, jnp.stack(new_vs), (0, 0, pos, 0)
+    )
     new_kv = {"k": kv_k, "v": kv_v}
     if cfg.pe_attention:
+        kv_kcs = jax.lax.dynamic_update_slice(
+            kv_kcs, jnp.stack(new_kcs), (0, 0, pos, 0)
+        )
         new_kv["k_cs"] = kv_kcs
 
     if cfg.side_network is not None:
