@@ -16,7 +16,7 @@ init_pt=${init_pt:-}      # path to whisper small .pt (optional)
 SEAME=${SEAME:-}          # raw corpus root (enables stage 0)
 SEAME_DEV_REPO=${SEAME_DEV_REPO:-}  # SEAME-dev-set checkout
 stage=${stage:-1}
-stop_stage=${stop_stage:-5}
+stop_stage=${stop_stage:-6}
 decode_sets=${decode_sets:-"devman devsge"}
 python=${python:-python}
 
@@ -84,4 +84,18 @@ if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then
       --ref "${out}/ref.trn" --hyp "${out}/hyp.trn" \
       --output_dir "${out}/score"
   done
+fi
+
+if [ ${stage} -le 6 ] && [ ${stop_stage} -ge 6 ]; then
+  echo "=== stage 6: pack model (asr.sh stage 14) ==="
+  opts=""
+  [ -f "${exp}/stage2/train_history.json" ] && \
+    opts="${opts} --option ${exp}/stage2/train_history.json"
+  [ -d "${exp}/stage2/images" ] && opts="${opts} --option ${exp}/stage2/images"
+  # shellcheck disable=SC2086
+  ${python} -m agacs_tpu.bin.pack pack \
+    --train_config "${exp}/stage2/config.yaml" \
+    --model_file "${exp}/stage2/valid.acc.ave.params.npz" \
+    ${opts} \
+    --outpath "${exp}/stage2/packed_model.tgz"
 fi

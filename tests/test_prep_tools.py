@@ -143,3 +143,34 @@ def test_collect_stats_and_vocab(tmp_path):
     assert len(lines) == 51865
     assert lines[50258] == "<|startoftranscript|>"
     assert lines[50363] == "<|notimestamps|>"
+
+
+def test_pack_unpack_roundtrip(tmp_path):
+    """bin/pack: stage-14 model packing (espnet2.bin.pack role)."""
+    import numpy as np
+
+    from agacs_tpu.bin import pack
+
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    (exp / "config.yaml").write_text("encoder: whisper\n")
+    np.savez(exp / "valid.acc.ave.params.npz", w=np.zeros(3))
+    (exp / "train_history.json").write_text("{}")
+
+    out = tmp_path / "packed.tgz"
+    pack.main([
+        "pack",
+        "--train_config", str(exp / "config.yaml"),
+        "--model_file", str(exp / "valid.acc.ave.params.npz"),
+        "--option", str(exp / "train_history.json"),
+        "--outpath", str(out),
+    ])
+    assert out.exists()
+
+    dest = tmp_path / "unpacked"
+    got = pack.main(["unpack", "--archive", str(out), "--outdir", str(dest)])
+    assert got["asr_train_config"].endswith("exp/config.yaml")
+    assert os.path.exists(got["asr_train_config"])
+    assert os.path.exists(got["asr_model_file"])
+    data = np.load(got["asr_model_file"])
+    assert data["w"].shape == (3,)

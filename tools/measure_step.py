@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--donate", action="store_true")
     ap.add_argument("--fp32_frozen", action="store_true",
                     help="keep frozen trunk in fp32 (default: bf16 storage)")
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "flash", "einsum"],
+                    help="attention backend (ops/attention.fused_mha)")
     args = ap.parse_args()
 
     from agacs_tpu.utils.runtime import setup as runtime_setup
@@ -44,6 +47,7 @@ def main():
         whisper=make_config(
             "small", adapter=True, compute_dtype=jnp.bfloat16,
             remat=args.remat, unroll_layers=args.unroll,
+            attention_backend=args.attn,
         ),
         cs_weight=0.01,
         use_specaug=True,
