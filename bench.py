@@ -153,6 +153,8 @@ def main():
         if audio_per_s > best[0]:
             best = (audio_per_s, key)
 
+    inference = _bench_inference()
+
     print(
         json.dumps(
             {
@@ -162,9 +164,55 @@ def main():
                 "vs_baseline": round(best[0] / TORCH_CPU_BASELINE_AUDIO_SEC_PER_S, 2),
                 "best_shape": best[1],
                 "matrix": matrix,
+                "inference": inference,
             }
         )
     )
+
+
+def _bench_inference():
+    """Warm greedy + beam-5 decode throughput (KV-cached, scan loop) —
+    the serving-side numbers next to the training headline."""
+    from agacs_tpu.decode.beam import beam_decode
+    from agacs_tpu.decode.greedy import greedy_decode
+    from agacs_tpu.models.whisper import (
+        init_whisper_params,
+        make_config,
+        whisper_encode,
+    )
+    from agacs_tpu.ops import log_mel_spectrogram
+    from agacs_tpu.utils.runtime import fetch
+
+    cfg = make_config("small", compute_dtype=jnp.bfloat16)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    sec = 15
+    enc_fn = jax.jit(lambda p, f: whisper_encode(p, cfg, f))
+    out = {}
+    for name, b, fn in (
+        ("greedy_8x15s", 8,
+         lambda enc: greedy_decode(params, cfg, enc, max_steps=100)),
+        ("beam5_32x15s", 32,
+         lambda enc: beam_decode(params, cfg, enc, beam_size=5,
+                                 max_steps=100, loop="scan")),
+    ):
+        audio = jnp.asarray(rng.randn(b, sec * 16000).astype(np.float32) * 0.1)
+        feats, _ = jax.jit(log_mel_spectrogram)(
+            audio, jnp.full((b,), sec * 16000, jnp.int32)
+        )
+        enc = enc_fn(params, feats)
+        fetch(enc)
+        fetch(fn(enc))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch(fn(enc))
+            ts.append(time.perf_counter() - t0)
+        out[name] = {
+            "ms_per_batch": round(min(ts) * 1e3, 1),
+            "x_realtime": round(b * sec / min(ts), 0),
+        }
+    return out
 
 
 if __name__ == "__main__":

@@ -217,3 +217,24 @@ def test_openai_pt_checkpoint_roundtrip(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_conv1d_matmul_matches_lax_conv():
+    """The matmul-form stem (shifted MXU matmuls, even/odd phases for
+    stride 2) must match lax.conv exactly, incl. odd lengths."""
+    from agacs_tpu.models.whisper import conv1d
+
+    rng = np.random.RandomState(0)
+    for t in (10, 11, 31):
+        for stride in (1, 2):
+            x = jnp.asarray(rng.randn(2, t, 5).astype(np.float32))
+            p = {"w": jnp.asarray(rng.randn(3, 5, 7).astype(np.float32)),
+                 "b": jnp.asarray(rng.randn(7).astype(np.float32))}
+            ref = jax.lax.conv_general_dilated(
+                x, p["w"], window_strides=(stride,), padding=((1, 1),),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + p["b"]
+            got = conv1d(x, p, stride)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
