@@ -38,7 +38,7 @@ NEG_INF = -1.0e30
     static_argnames=(
         "cfg", "beam_size", "primer", "max_steps", "eot", "length_bonus",
         "ctc_weight", "lm_cfg", "lm_weight", "ngram_weight", "pre_beam",
-        "use_end_detect", "loop",
+        "use_end_detect", "loop", "ancestry",
     ),
 )
 def beam_decode(
@@ -61,12 +61,18 @@ def beam_decode(
     pre_beam: int = 0,
     use_end_detect: bool = True,
     loop: str = "while",
+    ancestry: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (tokens (B, n_primer+max_steps+1), lengths (B,), scores (B,))
     for the best ended hypothesis per utterance.
 
     ctc_logp: (B, T_enc, V) frame log-probs from the CTC head (enables the
     CTC partial scorer when ctc_weight > 0); lm_*: shallow fusion.
+    ancestry: keep the self-KV caches unreordered across beam selection
+    and track parentage in an index map resolved inside attention (exact
+    same results; removes the per-step cache gather, the dominant HBM
+    term after the cross-KV sharing — docs/PERF.md round-3). Ignored for
+    side-network configs, whose ladder caches keep the physical reorder.
     """
     b = enc_out.shape[0]
     k = beam_size
@@ -84,7 +90,16 @@ def beam_decode(
         # repeated layout there
         cross_kv = precompute_cross_kv(params, cfg, jnp.repeat(enc_out, k, axis=0))
         groups = 1
-    self_kv = init_self_kv_cache(cfg, batch=b * k, max_len=max_ctx)
+    use_ancestry = ancestry and groups > 1
+    self_kv = init_self_kv_cache(
+        cfg, batch=b * k, max_len=max_ctx, ancestry=use_ancestry
+    )
+    reorder_fn = None
+    if use_ancestry:
+        def reorder_fn(state, flat_parent):
+            out = dict(state)
+            out["anc"] = state["anc"][:, flat_parent]
+            return out
 
     def step(cur, pos, kv):
         return whisper_decode_step(
@@ -117,4 +132,5 @@ def beam_decode(
         lm_step_fn=lm_step, lm_state0=lm_state0, lm_weight=lm_weight,
         ngram_step_fn=ngram_step, ngram_weight=ngram_weight,
         use_end_detect=use_end_detect, loop=loop,
+        reorder_state_fn=reorder_fn,
     )

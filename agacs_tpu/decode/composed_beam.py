@@ -70,12 +70,16 @@ def composed_beam_decode(
     ngram_weight: float = 0.0,
     use_end_detect: bool = True,
     loop: str = "while",
+    reorder_state_fn=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (tokens (B, n_primer+max_steps+1), lengths (B,), scores (B,)).
 
     step_fn/lm_step_fn see flat (B*beam,) token vectors; their states must
     reorder correctly under `tree.map(lambda x: x[:, parent])`. `max_pos`
     caps the loop at the decoder context (n_text_ctx-1 positions).
+    reorder_state_fn(state, flat_parent) overrides the decoder-state
+    reorder — used by ancestry-indexed KV caches that redirect reads via
+    an index map instead of physically gathering the cache buffers.
     ctc_logp: (B, T, V) frame log-probs; enables the CTC partial scorer
     together with ctc_weight > 0.
 
@@ -260,7 +264,10 @@ def composed_beam_decode(
             )
 
             flat_parent = (jnp.arange(b)[:, None] * k + parent).reshape(-1)
-            dec_new = jax.tree.map(lambda x: x[:, flat_parent], dec_state)
+            if reorder_state_fn is not None:
+                dec_new = reorder_state_fn(dec_state, flat_parent)
+            else:
+                dec_new = jax.tree.map(lambda x: x[:, flat_parent], dec_state)
             lm_new = (
                 jax.tree.map(lambda x: x[:, flat_parent], lm_state)
                 if use_lm

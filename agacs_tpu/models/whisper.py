@@ -808,7 +808,12 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, audio_feats: jax.Arr
     return out
 
 
-def init_self_kv_cache(cfg: WhisperConfig, batch: int, max_len: int | None = None) -> Params:
+def init_self_kv_cache(
+    cfg: WhisperConfig,
+    batch: int,
+    max_len: int | None = None,
+    ancestry: bool = False,
+) -> Params:
     max_len = max_len or cfg.n_text_ctx
     shape = (cfg.n_text_layer, batch, max_len, cfg.n_text_state)
     cache = {
@@ -817,6 +822,16 @@ def init_self_kv_cache(cfg: WhisperConfig, batch: int, max_len: int | None = Non
     }
     if cfg.part("decoder").pe_attention:
         cache["k_cs"] = jnp.zeros(shape, cfg.compute_dtype)
+    if ancestry:
+        # anc[0, i, t] = physical cache row holding position t of row i's
+        # hypothesis. Beam search reorders THIS map instead of gathering
+        # the (L, N, max_len, d) k/v buffers (decode/composed_beam.py);
+        # attention resolves it as a dense one-hot mix over each
+        # utterance's beam rows — no gathers, no cache-wide copies.
+        cache["anc"] = jnp.broadcast_to(
+            jnp.arange(batch, dtype=jnp.int32)[None, :, None],
+            (1, batch, max_len),
+        )
     if cfg.side_network is not None:
         sshape = (
             len(cfg.side_network.layers), batch, max_len, cfg.side_network.n_dim
@@ -884,6 +899,18 @@ def whisper_decode_step(
     kv_k, kv_v = self_kv["k"], self_kv["v"]
     kv_kcs = self_kv.get("k_cs")
     at_pos = (pos_ids == pos)[None, None, None, :]  # (1,1,1,max_len)
+    # ancestry-indexed cache reads (beam search): rows are never
+    # physically reordered; anc[0, i, t] names the row whose k/v holds
+    # position t of row i's hypothesis, and attention mixes the group's
+    # rows with the exact one-hot of that map (1.0·x + 0.0·y is exact,
+    # so numerics match the gather form bit-for-bit).
+    anc = self_kv.get("anc")
+    use_anc = anc is not None and beam_groups > 1
+    if use_anc:
+        bg_a = n // beam_groups
+        anc_local = (anc[0] % beam_groups).reshape(bg_a, beam_groups, max_len)
+        a_sel = jax.nn.one_hot(anc_local, beam_groups, dtype=jnp.float32)
+        # (bg, q_beam, max_len, j_beam)
     new_ks, new_vs, new_kcs = [], [], []
     trunk_outs = []
     h = x
@@ -900,14 +927,28 @@ def whisper_decode_step(
         new_vs.append(v_new)
 
         qh = _split_heads(q, n_head) * scale  # (N, h, 1, dh)
-        kh = _split_heads(kv_k[l], n_head) * scale  # (N, h, max_len, dh)
-        vh = _split_heads(kv_v[l], n_head)
         k_new_h = _split_heads(k_new, n_head) * scale  # (N, h, 1, dh)
         v_new_h = _split_heads(v_new, n_head)
-        qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
         qk_self = jnp.sum(qh * k_new_h, axis=-1, keepdims=True).astype(
             jnp.float32
         )  # (N, h, 1, 1)
+
+        def _anc_qk(q_row, cache_l):
+            # dense ancestry mix: every beam's query against every group
+            # row's cache, then one-hot-select per key position
+            qg = q_row[:, :, 0, :].reshape(bg_a, beam_groups, n_head, d_head)
+            kg = (cache_l * scale).reshape(
+                bg_a, beam_groups, max_len, n_head, d_head
+            )
+            qk_all = jnp.einsum("bqhd,bjthd->bqhjt", qg, kg).astype(jnp.float32)
+            qk_g = jnp.einsum("bqhjt,bqtj->bqht", qk_all, a_sel)
+            return qk_g.reshape(n, n_head, 1, max_len)
+
+        if use_anc:
+            qk = _anc_qk(qh, kv_k[l])
+        else:
+            kh = _split_heads(kv_k[l], n_head) * scale  # (N, h, max_len, dh)
+            qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
         qk = jnp.where(at_pos, qk_self, qk)
         if cfg.pe_attention:
             # gated dual-QK mix (model.py:156-179) with a second key cache
@@ -915,9 +956,12 @@ def whisper_decode_step(
             k_cs_new = linear(y, p_attn["key_cs"])
             new_kcs.append(k_cs_new)
             qh_cs = _split_heads(q_cs, n_head) * scale
-            kh_cs = _split_heads(kv_kcs[l], n_head) * scale
             k_cs_new_h = _split_heads(k_cs_new, n_head) * scale
-            qk_cs = jnp.einsum("bhqd,bhkd->bhqk", qh_cs, kh_cs).astype(jnp.float32)
+            if use_anc:
+                qk_cs = _anc_qk(qh_cs, kv_kcs[l])
+            else:
+                kh_cs = _split_heads(kv_kcs[l], n_head) * scale
+                qk_cs = jnp.einsum("bhqd,bhkd->bhqk", qh_cs, kh_cs).astype(jnp.float32)
             qk_cs_self = jnp.sum(
                 qh_cs * k_cs_new_h, axis=-1, keepdims=True
             ).astype(jnp.float32)
@@ -925,10 +969,23 @@ def whisper_decode_step(
             g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32)).reshape(1, n_head, 1, 1)
             qk = (1.0 - g) * qk + g * qk_cs
         qk = jnp.where(key_mask, qk, -jnp.inf)
-        w = jax.nn.softmax(qk, axis=-1).astype(vh.dtype)
         # cache rows >= pos are zeros, so the cache einsum contributes
         # nothing at the current position; add w[pos]·v_new explicitly
-        o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        if use_anc:
+            w32 = jax.nn.softmax(qk, axis=-1)  # (N, h, 1, max_len) f32
+            wg = w32[:, :, 0, :].reshape(bg_a, beam_groups, n_head, max_len)
+            w2 = jnp.einsum("bqht,bqtj->bqhjt", wg, a_sel).astype(
+                cfg.compute_dtype
+            )
+            vg = kv_v[l].reshape(bg_a, beam_groups, max_len, n_head, d_head)
+            o = jnp.einsum("bqhjt,bjthd->bqhd", w2, vg).reshape(
+                n, n_head, 1, d_head
+            )
+            w = w32.astype(v_new_h.dtype)
+        else:
+            vh = _split_heads(kv_v[l], n_head)
+            w = jax.nn.softmax(qk, axis=-1).astype(vh.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
         w_pos = jnp.sum(
             jnp.where(at_pos, w.astype(jnp.float32), 0.0), axis=-1,
             keepdims=True,
@@ -981,6 +1038,12 @@ def whisper_decode_step(
         kv_v, jnp.stack(new_vs), (0, 0, pos, 0)
     )
     new_kv = {"k": kv_k, "v": kv_v}
+    if anc is not None:
+        # this step's k/v rows live at their own physical rows; the beam
+        # reorder then propagates the map to the surviving hypotheses
+        new_kv["anc"] = jax.lax.dynamic_update_slice(
+            anc, jnp.arange(n, dtype=jnp.int32).reshape(1, n, 1), (0, 0, pos)
+        )
     if cfg.pe_attention:
         kv_kcs = jax.lax.dynamic_update_slice(
             kv_kcs, jnp.stack(new_kcs), (0, 0, pos, 0)

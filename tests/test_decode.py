@@ -129,6 +129,44 @@ def test_beam_with_pe_attention():
         )
 
 
+def test_beam_ancestry_matches_gather(setup):
+    """ancestry=True (unreordered caches + index map resolved as a one-hot
+    mix inside attention) must reproduce the physical-gather beam exactly:
+    identical tokens/lengths, scores to f32 reduction-order tolerance."""
+    params, enc = setup
+    for loop in ("while", "scan"):
+        t0, l0, s0 = beam_decode(
+            params, TINY, enc, beam_size=4, primer=PRIMER, max_steps=12,
+            loop=loop, ancestry=False,
+        )
+        t1, l1, s1 = beam_decode(
+            params, TINY, enc, beam_size=4, primer=PRIMER, max_steps=12,
+            loop=loop, ancestry=True,
+        )
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-4)
+
+
+def test_beam_ancestry_matches_gather_pe():
+    """Ancestry parity on the PE dual-QK path (second key cache gets the
+    same index-map treatment)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, pe_attention=True, pe_decoder=True)
+    params = init_whisper_params(jax.random.PRNGKey(7), cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(8), (2, 32, 64), jnp.float32)
+    t0, l0, s0 = beam_decode(
+        params, cfg, enc, beam_size=3, primer=PRIMER, max_steps=10, ancestry=False
+    )
+    t1, l1, s1 = beam_decode(
+        params, cfg, enc, beam_size=3, primer=PRIMER, max_steps=10, ancestry=True
+    )
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-4)
+
+
 def test_beam_with_side_network():
     """Composed beam over the ladder side-network decoder (side KV caches
     + precomputed side cross K/V in the step path)."""
