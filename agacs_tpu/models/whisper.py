@@ -868,13 +868,14 @@ def whisper_decode_step(
     stacked caches forces XLA to copy every layer's full (N, max_len, d)
     cache slice each step just to write one row (xs/ys buffers cannot
     alias — measured 32% of beam-decode device time). Cache writes are
-    further DEFERRED: each layer attends to the (stale) cache plus the
-    current token's fresh k/v separately (cache rows >= pos are zeros,
-    so the einsum over the cache contributes nothing there), and all
-    layers' rows land in ONE stacked dynamic_update_slice per k/v buffer
-    at the end of the step — a single write with a single consumer
-    chain, which XLA can update in place instead of 2·L per-layer
-    slice copies.
+    WRITE-FIRST and per-layer: each layer's fresh k/v row lands in the
+    threaded cache buffer via a row-sized dynamic_update_slice BEFORE
+    that layer's attention reads, so every buffer version has a strict
+    write→read→next-write consumer chain and XLA updates it in place.
+    (The previous design deferred all rows to one stacked end-of-step
+    DUS; its operand stayed live across all 2·L attention reads and XLA
+    materialized a full-cache copy per buffer per step — measured
+    4.6 ms/step each at B·k=160, 48% of beam device time.)
 
     Returns (logits (N, n_vocab) fp32, updated self_kv).
     """
@@ -898,7 +899,6 @@ def whisper_decode_step(
     blocks = params["decoder"]["blocks"]
     kv_k, kv_v = self_kv["k"], self_kv["v"]
     kv_kcs = self_kv.get("k_cs")
-    at_pos = (pos_ids == pos)[None, None, None, :]  # (1,1,1,max_len)
     # ancestry-indexed cache reads (beam search): rows are never
     # physically reordered; anc[0, i, t] names the row whose k/v holds
     # position t of row i's hypothesis, and attention mixes the group's
@@ -906,32 +906,40 @@ def whisper_decode_step(
     # so numerics match the gather form bit-for-bit).
     anc = self_kv.get("anc")
     use_anc = anc is not None and beam_groups > 1
+    if anc is not None:
+        # this step's rows live at their own physical rows; recorded
+        # BEFORE the layer loop so the one-hot resolves position pos to
+        # each row's own fresh k/v. The beam reorder then propagates the
+        # map to the surviving hypotheses.
+        anc = jax.lax.dynamic_update_slice(
+            anc, jnp.arange(n, dtype=jnp.int32).reshape(1, n, 1), (0, 0, pos)
+        )
     if use_anc:
         bg_a = n // beam_groups
         anc_local = (anc[0] % beam_groups).reshape(bg_a, beam_groups, max_len)
         a_sel = jax.nn.one_hot(anc_local, beam_groups, dtype=jnp.float32)
         # (bg, q_beam, max_len, j_beam)
-    new_ks, new_vs, new_kcs = [], [], []
     trunk_outs = []
     h = x
     for l in range(cfg.n_text_layer):
         layer_params = jax.tree.map(lambda a: a[l], blocks)
 
-        # --- self-attention: stale cache + fresh current-token k/v ---
+        # --- self-attention: write this layer's k/v row IN PLACE, then
+        # attend over the updated cache. Write-first makes the layer's
+        # reads (and every later layer's write, transitively) depend on
+        # the row write, so each buffer version has one ordered consumer
+        # chain and the row DUS aliases instead of copying the cache.
         p_attn = layer_params["attn"]
         y = layer_norm(h, layer_params["attn_ln"])
         q = linear(y, p_attn["query"])
-        k_new = linear(y, p_attn["key"])  # (N, 1, d)
-        v_new = linear(y, p_attn["value"])
-        new_ks.append(k_new)
-        new_vs.append(v_new)
+        kv_k = jax.lax.dynamic_update_slice(
+            kv_k, linear(y, p_attn["key"])[None], (l, 0, pos, 0)
+        )
+        kv_v = jax.lax.dynamic_update_slice(
+            kv_v, linear(y, p_attn["value"])[None], (l, 0, pos, 0)
+        )
 
         qh = _split_heads(q, n_head) * scale  # (N, h, 1, dh)
-        k_new_h = _split_heads(k_new, n_head) * scale  # (N, h, 1, dh)
-        v_new_h = _split_heads(v_new, n_head)
-        qk_self = jnp.sum(qh * k_new_h, axis=-1, keepdims=True).astype(
-            jnp.float32
-        )  # (N, h, 1, 1)
 
         def _anc_qk(q_row, cache_l):
             # dense ancestry mix: every beam's query against every group
@@ -949,28 +957,21 @@ def whisper_decode_step(
         else:
             kh = _split_heads(kv_k[l], n_head) * scale  # (N, h, max_len, dh)
             qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
-        qk = jnp.where(at_pos, qk_self, qk)
         if cfg.pe_attention:
             # gated dual-QK mix (model.py:156-179) with a second key cache
             q_cs = linear(y, p_attn["query_cs"])
-            k_cs_new = linear(y, p_attn["key_cs"])
-            new_kcs.append(k_cs_new)
+            kv_kcs = jax.lax.dynamic_update_slice(
+                kv_kcs, linear(y, p_attn["key_cs"])[None], (l, 0, pos, 0)
+            )
             qh_cs = _split_heads(q_cs, n_head) * scale
-            k_cs_new_h = _split_heads(k_cs_new, n_head) * scale
             if use_anc:
                 qk_cs = _anc_qk(qh_cs, kv_kcs[l])
             else:
                 kh_cs = _split_heads(kv_kcs[l], n_head) * scale
                 qk_cs = jnp.einsum("bhqd,bhkd->bhqk", qh_cs, kh_cs).astype(jnp.float32)
-            qk_cs_self = jnp.sum(
-                qh_cs * k_cs_new_h, axis=-1, keepdims=True
-            ).astype(jnp.float32)
-            qk_cs = jnp.where(at_pos, qk_cs_self, qk_cs)
             g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32)).reshape(1, n_head, 1, 1)
             qk = (1.0 - g) * qk + g * qk_cs
         qk = jnp.where(key_mask, qk, -jnp.inf)
-        # cache rows >= pos are zeros, so the cache einsum contributes
-        # nothing at the current position; add w[pos]·v_new explicitly
         if use_anc:
             w32 = jax.nn.softmax(qk, axis=-1)  # (N, h, 1, max_len) f32
             wg = w32[:, :, 0, :].reshape(bg_a, beam_groups, n_head, max_len)
@@ -981,16 +982,10 @@ def whisper_decode_step(
             o = jnp.einsum("bqhjt,bjthd->bqhd", w2, vg).reshape(
                 n, n_head, 1, d_head
             )
-            w = w32.astype(v_new_h.dtype)
         else:
             vh = _split_heads(kv_v[l], n_head)
             w = jax.nn.softmax(qk, axis=-1).astype(vh.dtype)
             o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
-        w_pos = jnp.sum(
-            jnp.where(at_pos, w.astype(jnp.float32), 0.0), axis=-1,
-            keepdims=True,
-        ).astype(v_new_h.dtype)  # (N, h, 1, 1)
-        o = o + w_pos * v_new_h
         attn = linear(_merge_heads(o), p_attn["out"])
         h = h + attn
         if cfg.adapter:
@@ -1030,24 +1025,10 @@ def whisper_decode_step(
         trunk_outs.append(h)
 
     x = h
-    # single stacked write per buffer: (L, N, 1, d) rows at position pos
-    kv_k = jax.lax.dynamic_update_slice(
-        kv_k, jnp.stack(new_ks), (0, 0, pos, 0)
-    )
-    kv_v = jax.lax.dynamic_update_slice(
-        kv_v, jnp.stack(new_vs), (0, 0, pos, 0)
-    )
     new_kv = {"k": kv_k, "v": kv_v}
     if anc is not None:
-        # this step's k/v rows live at their own physical rows; the beam
-        # reorder then propagates the map to the surviving hypotheses
-        new_kv["anc"] = jax.lax.dynamic_update_slice(
-            anc, jnp.arange(n, dtype=jnp.int32).reshape(1, n, 1), (0, 0, pos)
-        )
+        new_kv["anc"] = anc
     if cfg.pe_attention:
-        kv_kcs = jax.lax.dynamic_update_slice(
-            kv_kcs, jnp.stack(new_kcs), (0, 0, pos, 0)
-        )
         new_kv["k_cs"] = kv_kcs
 
     if cfg.side_network is not None:
@@ -1072,8 +1053,10 @@ def _side_decode_step(params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, 
     scale = (side.n_dim // side.n_head) ** -0.25
 
     h_side = linear(x_embed, sp["downsample_input"])
-    new_k = []
-    new_v = []
+    # write-first threaded row updates, like the trunk loop: each
+    # version of the stacked buffer has one ordered consumer chain so
+    # the row DUS aliases in place (no per-step stack of full copies)
+    side_k, side_v = self_kv["side_k"], self_kv["side_v"]
     for i, layer_idx in enumerate(side.layers):
         bp = jax.tree.map(lambda a: a[i], sp["blocks"])
         down = linear(trunk_outs[layer_idx], jax.tree.map(lambda a: a[i], sp["downsample_layers"]))
@@ -1082,17 +1065,15 @@ def _side_decode_step(params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, 
 
         # self-attention with cache
         y = layer_norm(h, bp["attn_ln"])
-        k_c = jax.lax.dynamic_update_slice(
-            self_kv["side_k"][i], linear(y, bp["attn"]["key"]), (0, pos, 0)
+        side_k = jax.lax.dynamic_update_slice(
+            side_k, linear(y, bp["attn"]["key"])[None], (i, 0, pos, 0)
         )
-        v_c = jax.lax.dynamic_update_slice(
-            self_kv["side_v"][i], linear(y, bp["attn"]["value"]), (0, pos, 0)
+        side_v = jax.lax.dynamic_update_slice(
+            side_v, linear(y, bp["attn"]["value"])[None], (i, 0, pos, 0)
         )
-        new_k.append(k_c)
-        new_v.append(v_c)
         qh = _split_heads(linear(y, bp["attn"]["query"]), n_head) * scale
-        kh = _split_heads(k_c, n_head) * scale
-        vh = _split_heads(v_c, n_head)
+        kh = _split_heads(side_k[i], n_head) * scale
+        vh = _split_heads(side_v[i], n_head)
         qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
         qk = jnp.where(key_mask, qk, -jnp.inf)
         w = jax.nn.softmax(qk, -1).astype(vh.dtype)
@@ -1111,4 +1092,4 @@ def _side_decode_step(params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, 
         h_side = h
 
     out = layer_norm(linear(h_side, sp["upsample_output"]), sp["ln"])
-    return out, {"side_k": jnp.stack(new_k), "side_v": jnp.stack(new_v)}
+    return out, {"side_k": side_k, "side_v": side_v}
