@@ -549,39 +549,46 @@ def transformer_decode_step(
     def heads(y, t):
         return y.reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
 
-    def body(carry, scanned):
-        h = carry
-        bp, ck, cv, kv = scanned
+    # STATIC layer loop with write-first threaded caches: scanning over
+    # the stacked cache as xs/ys forces XLA to copy each layer's full
+    # (B, max_len, d) slice per step (scan buffers cannot alias); here
+    # each layer's row DUS precedes its reads, giving every buffer
+    # version one ordered consumer chain that updates in place (same
+    # fix as whisper_decode_step, docs/PERF.md round-3).
+    kv_k, kv_v = self_kv["k"], self_kv["v"]
+    h = x
+    for l in range(cfg.num_blocks):
+        bp = jax.tree.map(lambda a: a[l], params["blocks"])
 
         hn = layer_norm(h, bp["self_ln"])
         q = linear(hn, bp["self_attn"]["q"])
-        k_new = linear(hn, bp["self_attn"]["k"])
-        v_new = linear(hn, bp["self_attn"]["v"])
-        k_c = jax.lax.dynamic_update_slice(kv["k"], k_new, (0, pos, 0))
-        v_c = jax.lax.dynamic_update_slice(kv["v"], v_new, (0, pos, 0))
+        kv_k = jax.lax.dynamic_update_slice(
+            kv_k, linear(hn, bp["self_attn"]["k"])[None], (l, 0, pos, 0)
+        )
+        kv_v = jax.lax.dynamic_update_slice(
+            kv_v, linear(hn, bp["self_attn"]["v"])[None], (l, 0, pos, 0)
+        )
         score = jnp.einsum(
-            "bhqd,bhkd->bhqk", heads(q, 1), heads(k_c, max_len)
+            "bhqd,bhkd->bhqk", heads(q, 1), heads(kv_k[l], max_len)
         ).astype(jnp.float32) / math.sqrt(dk)
         score = jnp.where(key_mask, score, -jnp.inf)
         w = jax.nn.softmax(score, -1).astype(h.dtype)
-        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(v_c, max_len))
+        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(kv_v[l], max_len))
         h = h + linear(att.transpose(0, 2, 1, 3).reshape(b, 1, d), bp["self_attn"]["out"])
 
         hn = layer_norm(h, bp["src_ln"])
         qc = heads(linear(hn, bp["src_attn"]["q"]), 1)
         score = jnp.einsum(
-            "bhqd,bhkd->bhqk", qc, heads(ck, t_mem)
+            "bhqd,bhkd->bhqk", qc, heads(cross_kv["k"][l], t_mem)
         ).astype(jnp.float32) / math.sqrt(dk)
         score = jnp.where(mem_mask, score, -jnp.inf)
         w = jax.nn.softmax(score, -1).astype(h.dtype)
-        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(cv, t_mem))
+        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(cross_kv["v"][l], t_mem))
         h = h + linear(att.transpose(0, 2, 1, 3).reshape(b, 1, d), bp["src_attn"]["out"])
 
         h = h + _ffn_fwd2(bp["ffn"], layer_norm(h, bp["ffn_ln"]))
-        return h, {"k": k_c, "v": v_c}
 
-    x, new_kv = jax.lax.scan(
-        body, x, (params["blocks"], cross_kv["k"], cross_kv["v"], self_kv)
-    )
-    x = layer_norm(x, params["after_ln"])
-    return linear(x[:, 0], params["output"]).astype(jnp.float32), new_kv
+    x = layer_norm(h, params["after_ln"])
+    return linear(x[:, 0], params["output"]).astype(jnp.float32), {
+        "k": kv_k, "v": kv_v
+    }

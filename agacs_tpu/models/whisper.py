@@ -818,7 +818,14 @@ def init_self_kv_cache(
     shape = (cfg.n_text_layer, batch, max_len, cfg.n_text_state)
     cache = {
         "k": jnp.zeros(shape, cfg.compute_dtype),
-        "v": jnp.zeros(shape, cfg.compute_dtype),
+        # v is stored head-split (L, N, H, T, dh) so the decode step's
+        # o-einsum is a flat (N·H, T, dh) batched matmul with batch dims
+        # leading — no operand transposes (docs/PERF.md round-3 layout
+        # forensics)
+        "v": jnp.zeros(
+            (cfg.n_text_layer, batch, cfg.n_text_head, max_len, cfg.d_text_head),
+            cfg.compute_dtype,
+        ),
     }
     if cfg.part("decoder").pe_attention:
         cache["k_cs"] = jnp.zeros(shape, cfg.compute_dtype)
@@ -894,6 +901,18 @@ def whisper_decode_step(
     # key-position validity mask: positions 0..pos inclusive
     pos_ids = jnp.arange(max_len)
     key_mask = (pos_ids <= pos)[None, None, None, :]  # (1,1,1,max_len)
+    # mask for the (.., T, h)-shaped self-attn logits below
+    key_mask_th = (pos_ids <= pos)[None, :, None]  # (1, max_len, 1)
+
+    # block-diagonal query expansion: the per-head qk dot is computed as
+    # ONE dense matmul per layer, qk[n,t,h] = Σ_d k[n,t,d]·qb[n,d,h] with
+    # qb[n,d,h] = q[n,d]·s²·[head(d)=h]. No (N,T,H,dh)→(N,H,T,dh) operand
+    # transpose of the cache, no head batching: the cache keeps its
+    # written layout and the extra H× dot FLOPs ride the MXU for free
+    # (docs/PERF.md round-3 layout forensics).
+    head_block = (
+        (jnp.arange(d) // d_head)[:, None] == jnp.arange(n_head)[None, :]
+    ).astype(cfg.compute_dtype) * (d_head ** -0.25)
 
     x_embed = x
     blocks = params["decoder"]["blocks"]
@@ -935,58 +954,59 @@ def whisper_decode_step(
         kv_k = jax.lax.dynamic_update_slice(
             kv_k, linear(y, p_attn["key"])[None], (l, 0, pos, 0)
         )
+        v_row = linear(y, p_attn["value"])[:, 0].reshape(n, n_head, 1, d_head)
         kv_v = jax.lax.dynamic_update_slice(
-            kv_v, linear(y, p_attn["value"])[None], (l, 0, pos, 0)
+            kv_v, v_row[None], (l, 0, 0, pos, 0)
         )
 
-        qh = _split_heads(q, n_head) * scale  # (N, h, 1, dh)
+        def _block_qk(q_row, cache_l):
+            # qb: (N, d, h) block-diagonal scaled query
+            qb = (q_row[:, 0] * scale)[:, :, None] * head_block[None]
+            if use_anc:
+                kg = cache_l.reshape(bg_a, beam_groups, max_len, d)
+                qbg = qb.reshape(bg_a, beam_groups, d, n_head)
+                qk_all = jnp.einsum("bjtd,bqdh->bjtqh", kg, qbg).astype(
+                    jnp.float32
+                )
+                # one-hot ancestry select over the group's physical rows
+                return jnp.einsum("bjtqh,bqtj->bqth", qk_all, a_sel)
+            return jnp.einsum("ntd,ndh->nth", cache_l, qb).astype(jnp.float32)
 
-        def _anc_qk(q_row, cache_l):
-            # dense ancestry mix: every beam's query against every group
-            # row's cache, then one-hot-select per key position
-            qg = q_row[:, :, 0, :].reshape(bg_a, beam_groups, n_head, d_head)
-            kg = (cache_l * scale).reshape(
-                bg_a, beam_groups, max_len, n_head, d_head
-            )
-            qk_all = jnp.einsum("bqhd,bjthd->bqhjt", qg, kg).astype(jnp.float32)
-            qk_g = jnp.einsum("bqhjt,bqtj->bqht", qk_all, a_sel)
-            return qk_g.reshape(n, n_head, 1, max_len)
-
-        if use_anc:
-            qk = _anc_qk(qh, kv_k[l])
-        else:
-            kh = _split_heads(kv_k[l], n_head) * scale  # (N, h, max_len, dh)
-            qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+        qk = _block_qk(q, kv_k[l])  # (.., T, h) logits
         if cfg.pe_attention:
             # gated dual-QK mix (model.py:156-179) with a second key cache
-            q_cs = linear(y, p_attn["query_cs"])
             kv_kcs = jax.lax.dynamic_update_slice(
                 kv_kcs, linear(y, p_attn["key_cs"])[None], (l, 0, pos, 0)
             )
-            qh_cs = _split_heads(q_cs, n_head) * scale
-            if use_anc:
-                qk_cs = _anc_qk(qh_cs, kv_kcs[l])
-            else:
-                kh_cs = _split_heads(kv_kcs[l], n_head) * scale
-                qk_cs = jnp.einsum("bhqd,bhkd->bhqk", qh_cs, kh_cs).astype(jnp.float32)
-            g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32)).reshape(1, n_head, 1, 1)
+            qk_cs = _block_qk(linear(y, p_attn["query_cs"]), kv_kcs[l])
+            g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32))
+            g = g.reshape((1,) * (qk.ndim - 1) + (n_head,))
             qk = (1.0 - g) * qk + g * qk_cs
-        qk = jnp.where(key_mask, qk, -jnp.inf)
+        mask_th = key_mask_th if not use_anc else key_mask_th[None]
+        qk = jnp.where(mask_th, qk, -jnp.inf)
+        w = jax.nn.softmax(qk, axis=-2)  # softmax over key positions
+        # o-einsum over the head-split v cache: flat (N·H, T, dh) batched
+        # matmul, batch dims leading on both operands — no transposes
+        v_flat = kv_v[l].reshape(n * n_head, max_len, d_head)
         if use_anc:
-            w32 = jax.nn.softmax(qk, axis=-1)  # (N, h, 1, max_len) f32
-            wg = w32[:, :, 0, :].reshape(bg_a, beam_groups, n_head, max_len)
-            w2 = jnp.einsum("bqht,bqtj->bqhjt", wg, a_sel).astype(
+            # fold ancestry into the weights at the physical-row level:
+            # w2[b,q,t,j,h] = w·onehot, laid out (b·j·h, q, t) so the dot
+            # output sums over j afterwards
+            w2 = (w[:, :, :, None, :] * a_sel[:, :, :, :, None]).astype(
                 cfg.compute_dtype
             )
-            vg = kv_v[l].reshape(bg_a, beam_groups, max_len, n_head, d_head)
-            o = jnp.einsum("bqhjt,bjthd->bqhd", w2, vg).reshape(
-                n, n_head, 1, d_head
+            w2 = w2.transpose(0, 3, 4, 1, 2).reshape(
+                n * n_head, beam_groups, max_len
             )
+            o = jnp.einsum("xqt,xtd->xqd", w2, v_flat)
+            o = o.reshape(bg_a, beam_groups, n_head, beam_groups, d_head)
+            o = o.sum(1).transpose(0, 2, 1, 3).reshape(n, 1, d)
         else:
-            vh = _split_heads(kv_v[l], n_head)
-            w = jax.nn.softmax(qk, axis=-1).astype(vh.dtype)
-            o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
-        attn = linear(_merge_heads(o), p_attn["out"])
+            w2 = w.transpose(0, 2, 1).reshape(n * n_head, 1, max_len).astype(
+                cfg.compute_dtype
+            )
+            o = jnp.einsum("xqt,xtd->xqd", w2, v_flat).reshape(n, 1, d)
+        attn = linear(o, p_attn["out"])
         h = h + attn
         if cfg.adapter:
             h = adapter_fwd(layer_params["adapter_attn"], h)
