@@ -94,11 +94,24 @@ def beam_decode(
     self_kv = init_self_kv_cache(
         cfg, batch=b * k, max_len=max_ctx, ancestry=use_ancestry
     )
-    reorder_fn = None
     if use_ancestry:
+        # rows are never physically moved; only the ancestry map follows
+        # the surviving hypotheses
         def reorder_fn(state, flat_parent):
             out = dict(state)
             out["anc"] = state["anc"][:, flat_parent]
+            return out
+    else:
+        # physical gather (oracle / side-network path): trunk k/v/k_cs
+        # are per-layer tuples with batch on axis 0; side caches are
+        # stacked (L_side, N, T, d) with batch on axis 1
+        def reorder_fn(state, flat_parent):
+            out = {}
+            for key, val in state.items():
+                if isinstance(val, tuple):
+                    out[key] = tuple(x[flat_parent] for x in val)
+                else:
+                    out[key] = val[:, flat_parent]
             return out
 
     def step(cur, pos, kv):

@@ -80,6 +80,10 @@ def joint_beam_decode(
             dec_params, dec_cfg, cur, pos, kv, cross_kv, mlens_r
         )
 
+    def reorder_fn(state, flat_parent):
+        # decoder caches are per-layer tuples with batch on axis 0
+        return jax.tree.map(lambda x: x[flat_parent], state)
+
     lm_step = lm_state0 = None
     if lm_params is not None and lm_weight > 0.0:
         from agacs_tpu.models.lm import init_lm_kv_cache, lm_score_step_cached
@@ -98,4 +102,5 @@ def joint_beam_decode(
         ctc_frame_lens=ctc_frame_lens, pre_beam=pre_beam,
         lm_step_fn=lm_step, lm_state0=lm_state0, lm_weight=lm_weight,
         use_end_detect=use_end_detect, loop=loop,
+        reorder_state_fn=reorder_fn,
     )

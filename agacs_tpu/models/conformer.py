@@ -504,22 +504,38 @@ def _ffn_fwd2(p, x):
 
 
 def init_decoder_kv_cache(cfg: TransformerDecoderConfig, batch: int, max_len: int):
-    shape = (cfg.num_blocks, batch, max_len, cfg.d_model)
-    return {
-        "k": jnp.zeros(shape, cfg.compute_dtype),
-        "v": jnp.zeros(shape, cfg.compute_dtype),
-    }
+    # per-layer tuples of separate (B, max_len, d) buffers so the row
+    # dynamic_update_slice updates in place and the qk dot reads whole
+    # buffers (same redesign as whisper's init_self_kv_cache;
+    # docs/PERF.md round-3)
+    def bufs():
+        return tuple(
+            jnp.zeros((batch, max_len, cfg.d_model), cfg.compute_dtype)
+            for _ in range(cfg.num_blocks)
+        )
+
+    return {"k": bufs(), "v": bufs()}
 
 
 def precompute_decoder_cross_kv(params: Params, cfg: TransformerDecoderConfig,
                                 memory: jax.Array):
+    """Per-layer TUPLES of head-split (B, h, T_mem, dk) cross K/V — read
+    directly inside the AR loop with nothing per-step to slice or
+    transpose (same redesign as whisper's precompute_cross_kv)."""
     mem = memory.astype(cfg.compute_dtype)
+    n_head = cfg.attention_heads
+    dk = cfg.d_model // n_head
+    b, t = mem.shape[:2]
 
-    def body(_, bp):
-        return 0, (linear(mem, bp["src_attn"]["k"]), linear(mem, bp["src_attn"]["v"]))
+    def split(y):
+        return y.reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
 
-    _, (k, v) = jax.lax.scan(body, 0, params["blocks"])
-    return {"k": k, "v": v}
+    ks, vs = [], []
+    for l in range(cfg.num_blocks):
+        bp = jax.tree.map(lambda a: a[l], params["blocks"])
+        ks.append(split(linear(mem, bp["src_attn"]["k"])))
+        vs.append(split(linear(mem, bp["src_attn"]["v"])))
+    return {"k": tuple(ks), "v": tuple(vs)}
 
 
 def transformer_decode_step(
@@ -536,59 +552,63 @@ def transformer_decode_step(
     n_head = cfg.attention_heads
     dk = d // n_head
     b = tokens.shape[0]
-    max_len = self_kv["k"].shape[2]
+    max_len = self_kv["k"][0].shape[1]
 
     x = params["embed"][tokens].astype(cfg.compute_dtype) * math.sqrt(d)
     pe = jnp.asarray(sinusoidal_pe(max_len, d))
     x = (x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, 0).astype(x.dtype))[:, None, :]
 
-    key_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]
-    t_mem = cross_kv["k"].shape[2]
+    key_mask_th = (jnp.arange(max_len) <= pos)[None, :, None]  # (1, T, 1)
+    t_mem = cross_kv["k"][0].shape[2]
     mem_mask = (jnp.arange(t_mem)[None, :] < memory_lens[:, None])[:, None, None, :]
 
     def heads(y, t):
         return y.reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
 
-    # STATIC layer loop with write-first threaded caches: scanning over
-    # the stacked cache as xs/ys forces XLA to copy each layer's full
-    # (B, max_len, d) slice per step (scan buffers cannot alias); here
-    # each layer's row DUS precedes its reads, giving every buffer
-    # version one ordered consumer chain that updates in place (same
-    # fix as whisper_decode_step, docs/PERF.md round-3).
-    kv_k, kv_v = self_kv["k"], self_kv["v"]
+    # STATIC layer loop over per-layer cache buffers with write-first
+    # row updates, block-diagonal-q self-attention (one dense matmul
+    # against the d-minor cache, no head split) and a
+    # broadcast-multiply-reduce output — the same cache-layout redesign
+    # as whisper_decode_step (docs/PERF.md round-3).
+    head_block = (
+        (jnp.arange(d) // dk)[:, None] == jnp.arange(n_head)[None, :]
+    ).astype(cfg.compute_dtype)
+    kv_k, kv_v = list(self_kv["k"]), list(self_kv["v"])
     h = x
     for l in range(cfg.num_blocks):
         bp = jax.tree.map(lambda a: a[l], params["blocks"])
 
         hn = layer_norm(h, bp["self_ln"])
         q = linear(hn, bp["self_attn"]["q"])
-        kv_k = jax.lax.dynamic_update_slice(
-            kv_k, linear(hn, bp["self_attn"]["k"])[None], (l, 0, pos, 0)
+        kv_k[l] = jax.lax.dynamic_update_slice(
+            kv_k[l], linear(hn, bp["self_attn"]["k"]), (0, pos, 0)
         )
-        kv_v = jax.lax.dynamic_update_slice(
-            kv_v, linear(hn, bp["self_attn"]["v"])[None], (l, 0, pos, 0)
+        kv_v[l] = jax.lax.dynamic_update_slice(
+            kv_v[l], linear(hn, bp["self_attn"]["v"]), (0, pos, 0)
         )
-        score = jnp.einsum(
-            "bhqd,bhkd->bhqk", heads(q, 1), heads(kv_k[l], max_len)
-        ).astype(jnp.float32) / math.sqrt(dk)
-        score = jnp.where(key_mask, score, -jnp.inf)
-        w = jax.nn.softmax(score, -1).astype(h.dtype)
-        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(kv_v[l], max_len))
-        h = h + linear(att.transpose(0, 2, 1, 3).reshape(b, 1, d), bp["self_attn"]["out"])
+        qb = q[:, 0][:, :, None] * head_block[None]  # (B, d, h)
+        score = jnp.einsum("btd,bdh->bth", kv_k[l], qb).astype(
+            jnp.float32
+        ) / math.sqrt(dk)
+        score = jnp.where(key_mask_th, score, -jnp.inf)
+        w = jax.nn.softmax(score, -2).astype(h.dtype)  # (B, T, h)
+        v_g = kv_v[l].reshape(b, max_len, n_head, dk)
+        att = (w[..., None] * v_g).sum(axis=1).reshape(b, 1, d)
+        h = h + linear(att, bp["self_attn"]["out"])
 
         hn = layer_norm(h, bp["src_ln"])
         qc = heads(linear(hn, bp["src_attn"]["q"]), 1)
         score = jnp.einsum(
-            "bhqd,bhkd->bhqk", qc, heads(cross_kv["k"][l], t_mem)
+            "bhqd,bhkd->bhqk", qc, cross_kv["k"][l]
         ).astype(jnp.float32) / math.sqrt(dk)
         score = jnp.where(mem_mask, score, -jnp.inf)
         w = jax.nn.softmax(score, -1).astype(h.dtype)
-        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(cross_kv["v"][l], t_mem))
+        att = jnp.einsum("bhqk,bhkd->bhqd", w, cross_kv["v"][l])
         h = h + linear(att.transpose(0, 2, 1, 3).reshape(b, 1, d), bp["src_attn"]["out"])
 
         h = h + _ffn_fwd2(bp["ffn"], layer_norm(h, bp["ffn_ln"]))
 
     x = layer_norm(h, params["after_ln"])
     return linear(x[:, 0], params["output"]).astype(jnp.float32), {
-        "k": kv_k, "v": kv_v
+        "k": tuple(kv_k), "v": tuple(kv_v)
     }

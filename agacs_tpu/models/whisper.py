@@ -782,29 +782,42 @@ def _decoder_side_fwd(params, cfg, tokens, xa):
 def precompute_cross_kv(params: Params, cfg: WhisperConfig, audio_feats: jax.Array) -> Params:
     """Per-layer cross-attention K/V from encoder output, computed once.
 
-    Returns dict with k/v stacked (n_layers, B, T_audio, d)."""
+    Returns dict with k/v as per-layer TUPLES of head-split
+    (B, n_head, T_audio, d_head) arrays; k is pre-scaled by
+    d_head**-0.25. Per-layer tuples rather than one stacked
+    (L, B, T, d) array: the AR decode loop reads layer l's buffers
+    directly from the closure — a stacked array gets re-sliced and
+    re-head-split INSIDE the loop every step (two 12-output kLoop
+    fusions copying 2·L·9.2 MB, measured 16% of beam-decode device
+    time at B=8; docs/PERF.md round-3)."""
     xa = audio_feats.astype(cfg.compute_dtype)
-
-    def body(_, layer_params):
-        ca = layer_params["cross_attn"]
-        return 0, (linear(xa, ca["key"]), linear(xa, ca["value"]))
-
-    _, (k, v) = jax.lax.scan(body, 0, params["decoder"]["blocks"])
-    out = {"k": k, "v": v}
+    dec_cfg = cfg.part("decoder")
+    n_head = dec_cfg.n_text_head
+    scale = dec_cfg.d_text_head ** -0.25
+    blocks = params["decoder"]["blocks"]
+    ks, vs = [], []
+    for l in range(dec_cfg.n_text_layer):
+        ca = jax.tree.map(lambda a: a[l], blocks)["cross_attn"]
+        ks.append(_split_heads(linear(xa, ca["key"]), n_head) * scale)
+        vs.append(_split_heads(linear(xa, ca["value"]), n_head))
+    out = {"k": tuple(ks), "v": tuple(vs)}
 
     if cfg.side_network is not None:
         # side ladder: memory is downsampled once, then each side block
         # has its own cross K/V (whisper_decoder.py:210 downsample_encoder_input)
         sp = params["decoder_side"]
+        side = cfg.side_network
+        s_head = side.n_head
+        s_scale = (side.n_dim // side.n_head) ** -0.25
         xa_side = linear(xa, sp["downsample_encoder_input"])
         ks, vs = [], []
-        n_side = len(cfg.side_network.layers)
+        n_side = len(side.layers)
         for i in range(n_side):
             ca = jax.tree.map(lambda a: a[i], sp["blocks"]["cross_attn"])
-            ks.append(linear(xa_side, ca["key"]))
-            vs.append(linear(xa_side, ca["value"]))
-        out["side_k"] = jnp.stack(ks)
-        out["side_v"] = jnp.stack(vs)
+            ks.append(_split_heads(linear(xa_side, ca["key"]), s_head) * s_scale)
+            vs.append(_split_heads(linear(xa_side, ca["value"]), s_head))
+        out["side_k"] = tuple(ks)
+        out["side_v"] = tuple(vs)
     return out
 
 
@@ -815,20 +828,22 @@ def init_self_kv_cache(
     ancestry: bool = False,
 ) -> Params:
     max_len = max_len or cfg.n_text_ctx
-    shape = (cfg.n_text_layer, batch, max_len, cfg.n_text_state)
-    cache = {
-        "k": jnp.zeros(shape, cfg.compute_dtype),
-        # v is stored head-split (L, N, H, T, dh) so the decode step's
-        # o-einsum is a flat (N·H, T, dh) batched matmul with batch dims
-        # leading — no operand transposes (docs/PERF.md round-3 layout
-        # forensics)
-        "v": jnp.zeros(
-            (cfg.n_text_layer, batch, cfg.n_text_head, max_len, cfg.d_text_head),
-            cfg.compute_dtype,
-        ),
-    }
+    # k/v/k_cs are per-layer TUPLES of (batch, max_len, d) buffers, all
+    # d-minor — NOT one stacked (L, ...) array. Separate buffers keep
+    # the per-step row dynamic_update_slice in place (every stacked or
+    # head-split layout XLA picked for the combined buffer made the row
+    # write a full-buffer copy — 12×0.118 ms/step, 36% of beam device
+    # time) and let the qk dot read each layer's cache whole, with no
+    # per-layer slice materialization (docs/PERF.md round-3).
+    def bufs():
+        return tuple(
+            jnp.zeros((batch, max_len, cfg.n_text_state), cfg.compute_dtype)
+            for _ in range(cfg.n_text_layer)
+        )
+
+    cache = {"k": bufs(), "v": bufs()}
     if cfg.part("decoder").pe_attention:
-        cache["k_cs"] = jnp.zeros(shape, cfg.compute_dtype)
+        cache["k_cs"] = bufs()
     if ancestry:
         # anc[0, i, t] = physical cache row holding position t of row i's
         # hypothesis. Beam search reorders THIS map instead of gathering
@@ -862,7 +877,8 @@ def whisper_decode_step(
     Args:
       tokens: (N,) int32 current-step token ids.
       pos: scalar int32 current position (0-based).
-      self_kv: {"k","v"} (L, N, max_len, d) caches; positions >= pos are
+      self_kv: {"k","v"} per-layer tuples of (N, max_len, d) cache
+        buffers (from `init_self_kv_cache`); positions >= pos are
         ignored via masking.
       cross_kv: from `precompute_cross_kv`.
       beam_groups: >1 when N = B·beam rows share B encoder outputs —
@@ -874,22 +890,21 @@ def whisper_decode_step(
     The layer loop is a STATIC Python loop, not lax.scan: scanning over
     stacked caches forces XLA to copy every layer's full (N, max_len, d)
     cache slice each step just to write one row (xs/ys buffers cannot
-    alias — measured 32% of beam-decode device time). Cache writes are
-    WRITE-FIRST and per-layer: each layer's fresh k/v row lands in the
-    threaded cache buffer via a row-sized dynamic_update_slice BEFORE
-    that layer's attention reads, so every buffer version has a strict
-    write→read→next-write consumer chain and XLA updates it in place.
-    (The previous design deferred all rows to one stacked end-of-step
-    DUS; its operand stayed live across all 2·L attention reads and XLA
-    materialized a full-cache copy per buffer per step — measured
-    4.6 ms/step each at B·k=160, 48% of beam device time.)
+    alias — measured 32% of beam-decode device time). Each layer's k/v
+    cache is its OWN (N, max_len, d) buffer (not a slice of a stacked
+    (L, ...) array): the row dynamic_update_slice then aliases in place
+    (stacked/head-split layouts made it a full-buffer copy, 36% of beam
+    device time) and the qk dot reads the whole buffer with no per-layer
+    slice materialization. Writes are WRITE-FIRST: the fresh row lands
+    BEFORE that layer's attention reads, so every buffer version has a
+    strict write→read→next-write consumer chain (docs/PERF.md round-3).
 
     Returns (logits (N, n_vocab) fp32, updated self_kv).
     """
     dec = params["decoder"]
     cfg = cfg.part("decoder")
     n = tokens.shape[0]
-    max_len = self_kv["k"].shape[2]
+    max_len = self_kv["k"][0].shape[1]
     n_head = cfg.n_text_head
     d_head = cfg.d_text_head
     scale = d_head ** -0.25
@@ -916,8 +931,9 @@ def whisper_decode_step(
 
     x_embed = x
     blocks = params["decoder"]["blocks"]
-    kv_k, kv_v = self_kv["k"], self_kv["v"]
+    kv_k, kv_v = list(self_kv["k"]), list(self_kv["v"])
     kv_kcs = self_kv.get("k_cs")
+    kv_kcs = list(kv_kcs) if kv_kcs is not None else None
     # ancestry-indexed cache reads (beam search): rows are never
     # physically reordered; anc[0, i, t] names the row whose k/v holds
     # position t of row i's hypothesis, and attention mixes the group's
@@ -951,12 +967,11 @@ def whisper_decode_step(
         p_attn = layer_params["attn"]
         y = layer_norm(h, layer_params["attn_ln"])
         q = linear(y, p_attn["query"])
-        kv_k = jax.lax.dynamic_update_slice(
-            kv_k, linear(y, p_attn["key"])[None], (l, 0, pos, 0)
+        kv_k[l] = jax.lax.dynamic_update_slice(
+            kv_k[l], linear(y, p_attn["key"]), (0, pos, 0)
         )
-        v_row = linear(y, p_attn["value"])[:, 0].reshape(n, n_head, 1, d_head)
-        kv_v = jax.lax.dynamic_update_slice(
-            kv_v, v_row[None], (l, 0, 0, pos, 0)
+        kv_v[l] = jax.lax.dynamic_update_slice(
+            kv_v[l], linear(y, p_attn["value"]), (0, pos, 0)
         )
 
         def _block_qk(q_row, cache_l):
@@ -975,8 +990,8 @@ def whisper_decode_step(
         qk = _block_qk(q, kv_k[l])  # (.., T, h) logits
         if cfg.pe_attention:
             # gated dual-QK mix (model.py:156-179) with a second key cache
-            kv_kcs = jax.lax.dynamic_update_slice(
-                kv_kcs, linear(y, p_attn["key_cs"])[None], (l, 0, pos, 0)
+            kv_kcs[l] = jax.lax.dynamic_update_slice(
+                kv_kcs[l], linear(y, p_attn["key_cs"]), (0, pos, 0)
             )
             qk_cs = _block_qk(linear(y, p_attn["query_cs"]), kv_kcs[l])
             g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32))
@@ -985,27 +1000,27 @@ def whisper_decode_step(
         mask_th = key_mask_th if not use_anc else key_mask_th[None]
         qk = jnp.where(mask_th, qk, -jnp.inf)
         w = jax.nn.softmax(qk, axis=-2)  # softmax over key positions
-        # o-einsum over the head-split v cache: flat (N·H, T, dh) batched
-        # matmul, batch dims leading on both operands — no transposes
-        v_flat = kv_v[l].reshape(n * n_head, max_len, d_head)
+        # output projection as a broadcast-multiply-reduce over the
+        # d-minor v cache: o[n,d] = Σ_t w[n,t,head(d)]·v[n,t,d]. A pure
+        # loop fusion — no head-split of the cache, no dot, so layout
+        # assignment keeps v d-minor and the row write stays in place.
         if use_anc:
-            # fold ancestry into the weights at the physical-row level:
-            # w2[b,q,t,j,h] = w·onehot, laid out (b·j·h, q, t) so the dot
-            # output sums over j afterwards
-            w2 = (w[:, :, :, None, :] * a_sel[:, :, :, :, None]).astype(
-                cfg.compute_dtype
-            )
-            w2 = w2.transpose(0, 3, 4, 1, 2).reshape(
-                n * n_head, beam_groups, max_len
-            )
-            o = jnp.einsum("xqt,xtd->xqd", w2, v_flat)
-            o = o.reshape(bg_a, beam_groups, n_head, beam_groups, d_head)
-            o = o.sum(1).transpose(0, 2, 1, 3).reshape(n, 1, d)
+            # fold the ancestry one-hot into the weights, then reduce
+            # over (physical row j, position t); v is broadcast over the
+            # query beam q (beam× reads, but no transposes/copies). The
+            # d→(h, dh) split of v is a minor-dim bitcast; only the tiny
+            # output is reshaped.
+            wsel = (
+                w[:, :, None, :, :]
+                * a_sel.transpose(0, 1, 3, 2)[..., None]
+            ).astype(cfg.compute_dtype)  # (bg, q, j, T, h)
+            v_g = kv_v[l].reshape(bg_a, beam_groups, max_len, n_head, d_head)
+            o = (wsel[..., None] * v_g[:, None]).sum(axis=(2, 3))
+            o = o.reshape(n, 1, d)
         else:
-            w2 = w.transpose(0, 2, 1).reshape(n * n_head, 1, max_len).astype(
-                cfg.compute_dtype
-            )
-            o = jnp.einsum("xqt,xtd->xqd", w2, v_flat).reshape(n, 1, d)
+            w_b = w.astype(cfg.compute_dtype)  # (N, T, H)
+            v_g = kv_v[l].reshape(n, max_len, n_head, d_head)
+            o = (w_b[..., None] * v_g).sum(axis=1).reshape(n, 1, d)
         attn = linear(o, p_attn["out"])
         h = h + attn
         if cfg.adapter:
@@ -1016,8 +1031,10 @@ def whisper_decode_step(
         p_cross = layer_params["cross_attn"]
         y = layer_norm(h, layer_params["cross_attn_ln"])
         qc_lin = linear(y, p_cross["query"])  # (N, 1, d)
-        kc = _split_heads(cross_kv["k"][l], n_head) * scale
-        vc = _split_heads(cross_kv["v"][l], n_head)
+        # pre-split, pre-scaled (B, h, T, dh) buffers straight from
+        # precompute_cross_kv — nothing per-step to slice or transpose
+        kc = cross_kv["k"][l]
+        vc = cross_kv["v"][l]
         if beam_groups > 1:
             bg = n // beam_groups
             # (bg, beam, h, 1, dh) queries vs shared (bg, h, T, dh) keys
@@ -1045,11 +1062,11 @@ def whisper_decode_step(
         trunk_outs.append(h)
 
     x = h
-    new_kv = {"k": kv_k, "v": kv_v}
+    new_kv = {"k": tuple(kv_k), "v": tuple(kv_v)}
     if anc is not None:
         new_kv["anc"] = anc
     if cfg.pe_attention:
-        new_kv["k_cs"] = kv_kcs
+        new_kv["k_cs"] = tuple(kv_kcs)
 
     if cfg.side_network is not None:
         # ladder side network replaces the trunk output head
@@ -1102,8 +1119,8 @@ def _side_decode_step(params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, 
         # cross-attention over the downsampled memory (precomputed K/V)
         y = layer_norm(h, bp["cross_attn_ln"])
         qc = _split_heads(linear(y, bp["cross_attn"]["query"]), n_head) * scale
-        kc = _split_heads(cross_kv["side_k"][i], n_head) * scale
-        vc = _split_heads(cross_kv["side_v"][i], n_head)
+        kc = cross_kv["side_k"][i]  # pre-split, pre-scaled (B, h, T, dh)
+        vc = cross_kv["side_v"][i]
         qkc = jnp.einsum("bhqd,bhkd->bhqk", qc, kc).astype(jnp.float32)
         wc = jax.nn.softmax(qkc, -1).astype(vc.dtype)
         h = h + linear(_merge_heads(jnp.einsum("bhqk,bhkd->bhqd", wc, vc)), bp["cross_attn"]["out"])
