@@ -35,7 +35,9 @@ Faithful semantics (fixing round-1's finished-in-place dense beams):
 Hypotheses live in dense (B, beam, L) tensors; the decoder is abstracted
 as a `step_fn(cur_tokens (N,), pos, state) -> (logits (N, V), state)` so
 whisper (`decode/beam.py`) and conformer (`decode/joint_beam.py`) share
-this loop. Caches reorder by gathering axis 1 with the parent-beam index.
+this loop. Caches reorder via the caller's `reorder_state_fn` (per-layer
+tuple buffers gather axis 0; ancestry-indexed caches reorder only their
+row map); the default is an axis-1 gather for stacked (L, N, ...) states.
 """
 
 from __future__ import annotations
@@ -269,7 +271,8 @@ def composed_beam_decode(
             else:
                 dec_new = jax.tree.map(lambda x: x[:, flat_parent], dec_state)
             lm_new = (
-                jax.tree.map(lambda x: x[:, flat_parent], lm_state)
+                # LM caches are per-layer tuples with batch on axis 0
+                jax.tree.map(lambda x: x[flat_parent], lm_state)
                 if use_lm
                 else lm_state
             )

@@ -112,11 +112,18 @@ def lm_score_step(params: dict, cfg: TransformerLMConfig, prefix: jax.Array) -> 
 
 
 def init_lm_kv_cache(cfg: TransformerLMConfig, batch: int, max_len: int) -> dict:
-    shape = (cfg.num_blocks, batch, max_len, cfg.d_model)
-    return {
-        "k": jnp.zeros(shape, cfg.compute_dtype),
-        "v": jnp.zeros(shape, cfg.compute_dtype),
-    }
+    # per-layer tuples of separate (B, max_len, d) d-minor buffers, the
+    # same AR-cache redesign as whisper's init_self_kv_cache: each
+    # layer's row dynamic_update_slice updates in place (one-consumer
+    # version chain) and the qk dot reads the whole buffer in its
+    # stored layout (docs/PERF.md round-3 tuple-cache section).
+    def bufs():
+        return tuple(
+            jnp.zeros((batch, max_len, cfg.d_model), cfg.compute_dtype)
+            for _ in range(cfg.num_blocks)
+        )
+
+    return {"k": bufs(), "v": bufs()}
 
 
 def lm_score_step_cached(
@@ -132,34 +139,46 @@ def lm_score_step_cached(
     n_head = cfg.attention_heads
     dk = d // n_head
     b = tokens.shape[0]
-    max_len = kv["k"].shape[2]
+    max_len = kv["k"][0].shape[1]
 
     x = params["embed"][tokens].astype(cfg.compute_dtype) * math.sqrt(d)
     pe = jnp.asarray(sinusoidal_pe(max_len, d))
     x = (x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, 0).astype(x.dtype))[:, None, :]
-    key_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]
+    key_mask_th = (jnp.arange(max_len) <= pos)[None, :, None]  # (1, T, 1)
 
-    def heads(y, t):
-        return y.reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
-
-    def body(carry, scanned):
-        h = carry
-        bp, kvs = scanned
+    # STATIC layer loop over per-layer tuple buffers: write-first row
+    # DUS, block-diagonal-q dense qk (one matmul against the d-minor
+    # cache, no head split), broadcast-multiply-reduce output — same
+    # redesign as whisper_decode_step / transformer_decode_step
+    # (docs/PERF.md round-3).
+    head_block = (
+        (jnp.arange(d) // dk)[:, None] == jnp.arange(n_head)[None, :]
+    ).astype(cfg.compute_dtype)
+    kv_k, kv_v = list(kv["k"]), list(kv["v"])
+    h = x
+    for l in range(cfg.num_blocks):
+        bp = jax.tree.map(lambda a: a[l], params["blocks"])
         hn = layer_norm(h, bp["attn_ln"])
-        k_c = jax.lax.dynamic_update_slice(kvs["k"], linear(hn, bp["attn"]["k"]), (0, pos, 0))
-        v_c = jax.lax.dynamic_update_slice(kvs["v"], linear(hn, bp["attn"]["v"]), (0, pos, 0))
-        q = heads(linear(hn, bp["attn"]["q"]), 1)
-        score = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, heads(k_c, max_len)
-        ).astype(jnp.float32) / math.sqrt(dk)
-        score = jnp.where(key_mask, score, -jnp.inf)
-        w = jax.nn.softmax(score, -1).astype(h.dtype)
-        att = jnp.einsum("bhqk,bhkd->bhqd", w, heads(v_c, max_len))
-        h = h + linear(att.transpose(0, 2, 1, 3).reshape(b, 1, d), bp["attn"]["out"])
+        kv_k[l] = jax.lax.dynamic_update_slice(
+            kv_k[l], linear(hn, bp["attn"]["k"]), (0, pos, 0)
+        )
+        kv_v[l] = jax.lax.dynamic_update_slice(
+            kv_v[l], linear(hn, bp["attn"]["v"]), (0, pos, 0)
+        )
+        q = linear(hn, bp["attn"]["q"])
+        qb = q[:, 0][:, :, None] * head_block[None]  # (B, d, h)
+        score = jnp.einsum("btd,bdh->bth", kv_k[l], qb).astype(
+            jnp.float32
+        ) / math.sqrt(dk)
+        score = jnp.where(key_mask_th, score, -jnp.inf)
+        w = jax.nn.softmax(score, -2).astype(h.dtype)  # (B, T, h)
+        v_g = kv_v[l].reshape(b, max_len, n_head, dk)
+        att = (w[..., None] * v_g).sum(axis=1).reshape(b, 1, d)
+        h = h + linear(att, bp["attn"]["out"])
         h = h + _ffn_fwd2(bp["ffn"], layer_norm(h, bp["ffn_ln"]))
-        return h, {"k": k_c, "v": v_c}
 
-    x, new_kv = jax.lax.scan(body, x, (params["blocks"], kv))
-    x = layer_norm(x, params["after_ln"])
+    x = layer_norm(h, params["after_ln"])
     logits = linear(x[:, 0], params["output"]).astype(jnp.float32)
-    return jax.nn.log_softmax(logits, -1), new_kv
+    return jax.nn.log_softmax(logits, -1), {
+        "k": tuple(kv_k), "v": tuple(kv_v)
+    }
