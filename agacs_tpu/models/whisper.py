@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from agacs_tpu.ops import decode_attn
+
 Params = Any  # nested dict pytree of jnp arrays
 
 
@@ -828,6 +830,10 @@ def init_self_kv_cache(
     ancestry: bool = False,
 ) -> Params:
     max_len = max_len or cfg.n_text_ctx
+    # time axis padded to the bf16 sublane tile so the Pallas decode
+    # kernel can collapse (beam, T, d) -> (beam*T, d); padded rows sit
+    # beyond any reachable pos and are masked like every t > pos
+    max_len = decode_attn.pad_time(max_len)
     # k/v/k_cs are per-layer TUPLES of (batch, max_len, d) buffers, all
     # d-minor — NOT one stacked (L, ...) array. Separate buffers keep
     # the per-step row dynamic_update_slice in place (every stacked or
@@ -949,11 +955,22 @@ def whisper_decode_step(
         anc = jax.lax.dynamic_update_slice(
             anc, jnp.arange(n, dtype=jnp.int32).reshape(1, n, 1), (0, 0, pos)
         )
+    # grouped kernel blocks must fit VMEM (beam x padded-context x
+    # 2-or-3 caches); otherwise keep the XLA formulation
+    use_kernel = decode_attn.use_decode_kernel() and (
+        beam_groups <= 1
+        or decode_attn.kernel_fits(
+            3 if cfg.pe_attention else 2, beam_groups, max_len, d
+        )
+    )
+    anc_flat = None
     if use_anc:
         bg_a = n // beam_groups
-        anc_local = (anc[0] % beam_groups).reshape(bg_a, beam_groups, max_len)
-        a_sel = jax.nn.one_hot(anc_local, beam_groups, dtype=jnp.float32)
-        # (bg, q_beam, max_len, j_beam)
+        anc_flat = anc[0] % beam_groups  # (N, max_len) local row index
+        if not use_kernel:
+            anc_local = anc_flat.reshape(bg_a, beam_groups, max_len)
+            a_sel = jax.nn.one_hot(anc_local, beam_groups, dtype=jnp.float32)
+            # (bg, q_beam, max_len, j_beam)
     trunk_outs = []
     h = x
     for l in range(cfg.n_text_layer):
@@ -973,54 +990,77 @@ def whisper_decode_step(
         kv_v[l] = jax.lax.dynamic_update_slice(
             kv_v[l], linear(y, p_attn["value"]), (0, pos, 0)
         )
-
-        def _block_qk(q_row, cache_l):
-            # qb: (N, d, h) block-diagonal scaled query
-            qb = (q_row[:, 0] * scale)[:, :, None] * head_block[None]
-            if use_anc:
-                kg = cache_l.reshape(bg_a, beam_groups, max_len, d)
-                qbg = qb.reshape(bg_a, beam_groups, d, n_head)
-                qk_all = jnp.einsum("bjtd,bqdh->bjtqh", kg, qbg).astype(
-                    jnp.float32
-                )
-                # one-hot ancestry select over the group's physical rows
-                return jnp.einsum("bjtqh,bqtj->bqth", qk_all, a_sel)
-            return jnp.einsum("ntd,ndh->nth", cache_l, qb).astype(jnp.float32)
-
-        qk = _block_qk(q, kv_k[l])  # (.., T, h) logits
         if cfg.pe_attention:
-            # gated dual-QK mix (model.py:156-179) with a second key cache
+            # second key cache for the gated dual-QK mix (model.py:156-179)
             kv_kcs[l] = jax.lax.dynamic_update_slice(
                 kv_kcs[l], linear(y, p_attn["key_cs"]), (0, pos, 0)
             )
-            qk_cs = _block_qk(linear(y, p_attn["query_cs"]), kv_kcs[l])
-            g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32))
-            g = g.reshape((1,) * (qk.ndim - 1) + (n_head,))
-            qk = (1.0 - g) * qk + g * qk_cs
-        mask_th = key_mask_th if not use_anc else key_mask_th[None]
-        qk = jnp.where(mask_th, qk, -jnp.inf)
-        w = jax.nn.softmax(qk, axis=-2)  # softmax over key positions
-        # output projection as a broadcast-multiply-reduce over the
-        # d-minor v cache: o[n,d] = Σ_t w[n,t,head(d)]·v[n,t,d]. A pure
-        # loop fusion — no head-split of the cache, no dot, so layout
-        # assignment keeps v d-minor and the row write stays in place.
-        if use_anc:
-            # fold the ancestry one-hot into the weights, then reduce
-            # over (physical row j, position t); v is broadcast over the
-            # query beam q (beam× reads, but no transposes/copies). The
-            # d→(h, dh) split of v is a minor-dim bitcast; only the tiny
-            # output is reshaped.
-            wsel = (
-                w[:, :, None, :, :]
-                * a_sel.transpose(0, 1, 3, 2)[..., None]
-            ).astype(cfg.compute_dtype)  # (bg, q, j, T, h)
-            v_g = kv_v[l].reshape(bg_a, beam_groups, max_len, n_head, d_head)
-            o = (wsel[..., None] * v_g[:, None]).sum(axis=(2, 3))
-            o = o.reshape(n, 1, d)
+
+        if use_kernel:
+            # fused Pallas cache attention: qk, PE gate mix, mask,
+            # softmax, and the value reduction in one kernel that
+            # streams k/v through VMEM once in their stored layout
+            # (ops/decode_attn.py; docs/PERF.md round-3)
+            kw = {}
+            if cfg.pe_attention:
+                kw = dict(
+                    q_cs=linear(y, p_attn["query_cs"])[:, 0] * (scale * scale),
+                    k_cs=kv_kcs[l],
+                    gate=jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32)),
+                )
+            o = decode_attn.decode_cache_attention(
+                q[:, 0] * (scale * scale), kv_k[l], kv_v[l], pos, n_head,
+                anc_local=anc_flat if use_anc else None,
+                beam=beam_groups if use_anc else 1, **kw,
+            )[:, None, :]
         else:
-            w_b = w.astype(cfg.compute_dtype)  # (N, T, H)
-            v_g = kv_v[l].reshape(n, max_len, n_head, d_head)
-            o = (w_b[..., None] * v_g).sum(axis=1).reshape(n, 1, d)
+            def _block_qk(q_row, cache_l):
+                # qb: (N, d, h) block-diagonal scaled query
+                qb = (q_row[:, 0] * scale)[:, :, None] * head_block[None]
+                if use_anc:
+                    kg = cache_l.reshape(bg_a, beam_groups, max_len, d)
+                    qbg = qb.reshape(bg_a, beam_groups, d, n_head)
+                    qk_all = jnp.einsum("bjtd,bqdh->bjtqh", kg, qbg).astype(
+                        jnp.float32
+                    )
+                    # one-hot ancestry select over the group's physical rows
+                    return jnp.einsum("bjtqh,bqtj->bqth", qk_all, a_sel)
+                return jnp.einsum(
+                    "ntd,ndh->nth", cache_l, qb
+                ).astype(jnp.float32)
+
+            qk = _block_qk(q, kv_k[l])  # (.., T, h) logits
+            if cfg.pe_attention:
+                qk_cs = _block_qk(linear(y, p_attn["query_cs"]), kv_kcs[l])
+                g = jax.nn.sigmoid(p_attn["gate"].astype(jnp.float32))
+                g = g.reshape((1,) * (qk.ndim - 1) + (n_head,))
+                qk = (1.0 - g) * qk + g * qk_cs
+            mask_th = key_mask_th if not use_anc else key_mask_th[None]
+            qk = jnp.where(mask_th, qk, -jnp.inf)
+            w = jax.nn.softmax(qk, axis=-2)  # softmax over key positions
+            # output projection as a broadcast-multiply-reduce over the
+            # d-minor v cache: o[n,d] = Σ_t w[n,t,head(d)]·v[n,t,d]. A pure
+            # loop fusion — no head-split of the cache, no dot, so layout
+            # assignment keeps v d-minor and the row write stays in place.
+            if use_anc:
+                # fold the ancestry one-hot into the weights, then reduce
+                # over (physical row j, position t); v is broadcast over the
+                # query beam q (beam× reads, but no transposes/copies). The
+                # d→(h, dh) split of v is a minor-dim bitcast; only the tiny
+                # output is reshaped.
+                wsel = (
+                    w[:, :, None, :, :]
+                    * a_sel.transpose(0, 1, 3, 2)[..., None]
+                ).astype(cfg.compute_dtype)  # (bg, q, j, T, h)
+                v_g = kv_v[l].reshape(
+                    bg_a, beam_groups, max_len, n_head, d_head
+                )
+                o = (wsel[..., None] * v_g[:, None]).sum(axis=(2, 3))
+                o = o.reshape(n, 1, d)
+            else:
+                w_b = w.astype(cfg.compute_dtype)  # (N, T, H)
+                v_g = kv_v[l].reshape(n, max_len, n_head, d_head)
+                o = (w_b[..., None] * v_g).sum(axis=1).reshape(n, 1, d)
         attn = linear(o, p_attn["out"])
         h = h + attn
         if cfg.adapter:

@@ -1,0 +1,379 @@
+"""Fused Pallas decode-step cache attention (the AR-serving hot op).
+
+One kernel per layer computes the whole masked-softmax attention read of
+the KV cache — qk logits, optional PE dual-QK gate mix, key-position
+mask, f32 softmax, and the value reduction — with the caches streamed
+through VMEM exactly once in their stored (N, T, d) d-minor layout.
+
+Why a kernel instead of XLA ops (docs/PERF.md round-3 forensics):
+
+* The XLA formulation leaves the cache with two layout-divergent
+  consumers (the row `dynamic_update_slice` and the qk dot). On the
+  beam path XLA assigned the loop carry `{2,1,0}` but produced the
+  prefill in `{2,0,1}`, so every step paid a full-cache relayout copy
+  fused into the row write — 12 x 99 us/step, 52% of beam device time
+  at B=8. A Pallas kernel pins one layout for every consumer.
+* The ancestry-indexed beam read (`decode/beam.py`) in dense form
+  multiplies a (bg, q, j, T, h, dh) broadcast on the VPU — a beam^2
+  read amplification (19% of device time). In-kernel the group's rows
+  are VMEM-resident, so the j x q cross terms are MXU dots plus tiny
+  one-hot selects.
+
+Kernel structure (Mosaic-friendly: 2-D dots, 2-D transposes, iota — no
+vector reshapes, which Mosaic rejects for these small shapes): each grid
+step owns one beam group of j rows, with the caches passed pre-flattened
+to (N*Tp, d) so the group block is already the (j*Tp, d) matrix the MXU
+dots against. Queries are expanded once into a block-diagonal (d, j*H)
+matrix via a constant one-hot matmul; scores for every (physical row,
+query, head) triple are ONE (j*Tp, d) x (d, j*H) dot, folded to (Tp,
+j*H) logits by the ancestry one-hot selects (each a (Tp, j) x (j, j*H)
+dot); the value reduction is ONE (j*H, j*Tp) x (j*Tp, d) dot whose
+weight matrix carries the selects; the per-query head extraction is one
+(j, j*H) x (j*H, d) dot against the head-masked accumulator. The plain
+(non-beam) path is the same kernel with an identity ancestry map over
+small pseudo-groups of independent rows.
+
+The small per-row operands (q, anc, out) are reshaped to (G, rows, ...)
+OUTSIDE the kernel so their (1, rows, ...) blocks span the trailing
+dims exactly (Mosaic requires blocked trailing dims to be multiples of
+(8, 128) or the full array). Cache blocks are (rows, Tp, d) with
+Tp % TIME_ALIGN == 0 (`init_self_kv_cache` pads).
+
+Layouts: q rows are PRE-scaled by d_head**-0.5; caches are raw.
+
+Reference parity: mirrors the attention math of the reference fork's
+`whisper/model.py` MultiHeadAttention/MultiHeadAttentionPE qkv_attention
+(f32 softmax over key positions) in cached single-token form.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TIME_ALIGN = 16  # bf16 sublane tile; keeps cache blocks tile-aligned
+
+# VMEM budget for the double-buffered cache blocks; above this the caller
+# should fall back to the XLA path (wide beams x long contexts x PE).
+# Measured on v5e: 2-cache beam-5 whisper-small blocks at T=448 (13.8 MB)
+# compile; the 3-cache PE variant (20.6 MB) exhausts VMEM.
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def pad_time(t: int) -> int:
+    return -(-t // TIME_ALIGN) * TIME_ALIGN
+
+
+def use_decode_kernel() -> bool:
+    mode = os.environ.get("AGACS_DECODE_KERNEL", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def kernel_fits(n_caches: int, rows: int, tp: int, d: int, itemsize: int = 2):
+    """Do the double-buffered cache blocks fit the VMEM budget?"""
+    return 2 * n_caches * rows * tp * d * itemsize <= _VMEM_BUDGET
+
+
+def _row_spec(*dims):
+    return pl.BlockSpec(
+        (1,) + dims, lambda i: (i,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _cache_spec(rows, tp, d):
+    # caches are passed reshaped to (N*Tp, d) so each block is ALREADY
+    # the flat (rows*Tp, d) matrix the kernel dots against — Mosaic
+    # rejects in-kernel vector reshapes at these shapes, but a 2-D block
+    # of the 2-D array needs none (rows*Tp % 8 == 0 via TIME_ALIGN)
+    return pl.BlockSpec(
+        (rows * tp, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _make_kernel(n_head, j, pe):
+    """One beam group of j rows per grid step; see module docstring."""
+
+    def kern(pos_ref, *refs):
+        if pe:
+            gate_ref, q_ref, qcs_ref, k_ref, kcs_ref, v_ref, anc_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, anc_ref, o_ref = refs
+            gate_ref = qcs_ref = kcs_ref = None
+        pos = pos_ref[0]
+        jtp, d = k_ref.shape  # (j*Tp, d) flat cache block
+        tp = jtp // j
+        h = n_head
+        m = j * h
+        d_head = d // h
+        f32 = jnp.float32
+
+        # constant one-hot matrices (iota arithmetic only):
+        #   colq[q, m'] = [m'//H == q]      (query-of-column)
+        #   hrep[dd, m'] = [head(dd) == m'%H]  (head-of-column)
+        colq = (
+            jax.lax.broadcasted_iota(jnp.int32, (j, m), 1) // h
+            == jax.lax.broadcasted_iota(jnp.int32, (j, m), 0)
+        ).astype(f32)
+        hrep = (
+            jax.lax.broadcasted_iota(jnp.int32, (d, m), 0) // d_head
+            == jax.lax.broadcasted_iota(jnp.int32, (d, m), 1) % h
+        ).astype(f32)
+
+        def qb_of(q_r):
+            # (d, m) block-diagonal query matrix:
+            # qb[dd, q*H + h'] = q[q, dd] * [head(dd) = h']
+            qt = q_r[0].astype(f32).T  # (d, j)
+            return (
+                jax.lax.dot_general(
+                    qt, colq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                * hrep
+            ).astype(k_ref.dtype)
+
+        qb = qb_of(q_ref)
+        qb_cs = qb_of(qcs_ref) if pe else None
+
+        # ONE dot computes every (physical row jk, query q, head) score:
+        # rows of the flat cache block are ordered jk*Tp + t
+        s_all = jax.lax.dot_general(
+            k_ref[:], qb, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (j*Tp, m)
+        s_all_cs = (
+            jax.lax.dot_general(
+                kcs_ref[:], qb_cs, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            if pe
+            else None
+        )
+
+        # ancestry one-hot per physical row jk, expanded to columns:
+        # sel_jk[t, m'] = [anc[m'//H, t] == jk]; the jk selects fold the
+        # (j*Tp, m) score matrix down to (Tp, m) query logits
+        anc_t = anc_ref[0].astype(jnp.int32).T  # (Tp, j_q)
+        sels = []
+        lg = jnp.zeros((tp, m), f32)
+        lg_cs = jnp.zeros((tp, m), f32) if pe else None
+        for jk in range(j):
+            sel_small = (anc_t == jk).astype(f32)  # (Tp, j_q)
+            sel = jax.lax.dot_general(
+                sel_small, colq, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (Tp, m)
+            sels.append(sel)
+            lg = lg + s_all[jk * tp:(jk + 1) * tp] * sel
+            if pe:
+                lg_cs = lg_cs + s_all_cs[jk * tp:(jk + 1) * tp] * sel
+
+        if pe:
+            # per-head gate broadcast to columns: g_m[0, m'] = gate[m'%H]
+            ehm = (
+                jax.lax.broadcasted_iota(jnp.int32, (h, m), 1) % h
+                == jax.lax.broadcasted_iota(jnp.int32, (h, m), 0)
+            ).astype(f32)
+            g_m = jax.lax.dot_general(
+                gate_ref[:].astype(f32), ehm, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (1, m)
+            lg = (1.0 - g_m) * lg + g_m * lg_cs
+
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (tp, m), 0)
+        lg = jnp.where(t_ids <= pos, lg, -1.0e30)
+        mx = jnp.max(lg, axis=0, keepdims=True)
+        ex = jnp.exp(lg - mx)
+        p = ex / jnp.sum(ex, axis=0, keepdims=True)  # (Tp, m) f32
+
+        # value reduction as ONE (m, j*Tp) x (j*Tp, d) dot: the weight
+        # matrix carries the ancestry select per row-block
+        w_rows = [
+            (p * sels[jk]).astype(v_ref.dtype) for jk in range(j)
+        ]  # j x (Tp, m)
+        w_full = jnp.concatenate(w_rows, axis=0)  # (j*Tp, m)
+        big = jax.lax.dot_general(
+            w_full.T, v_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (m, d)
+        # head extraction: o[q, dd] = sum_h big[q*H+h, dd] * [head(dd)=h]
+        o = jax.lax.dot_general(
+            colq, big * hrep.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (j, d)
+        o_ref[0] = o.astype(o_ref.dtype)
+
+    return kern
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "beam", "pe", "interpret")
+)
+def _call(pos, args, n_head, beam, pe, interpret=False):
+    if pe:
+        gate, q, q_cs, k, k_cs, v, anc = args
+    else:
+        q, k, v, anc = args
+    n, tp, d = k.shape
+    g = n // beam
+    kern = _make_kernel(n_head, beam, pe)
+    cache = _cache_spec(beam, tp, d)
+    k = k.reshape(n * tp, d)
+    v = v.reshape(n * tp, d)
+    if pe:
+        k_cs = k_cs.reshape(n * tp, d)
+    if pe:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gate (1, H)
+            _row_spec(beam, d), _row_spec(beam, d),  # q, q_cs
+            cache, cache, cache,                     # k, k_cs, v
+            _row_spec(beam, tp),                     # anc
+        ]
+        ins = (
+            pos.reshape(1), gate.reshape(1, -1), q.reshape(g, beam, d),
+            q_cs.reshape(g, beam, d), k, k_cs, v, anc.reshape(g, beam, tp),
+        )
+    else:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(beam, d),
+            cache, cache,
+            _row_spec(beam, tp),
+        ]
+        ins = (
+            pos.reshape(1), q.reshape(g, beam, d), k, v,
+            anc.reshape(g, beam, tp),
+        )
+    out = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=_row_spec(beam, d),
+        out_shape=jax.ShapeDtypeStruct((g, beam, d), q.dtype),
+        interpret=interpret,
+    )(*ins)
+    return out.reshape(n, d)
+
+
+def _pick_rows(n: int, tp: int, d: int, n_caches: int) -> int:
+    # pseudo-group size for the plain path: kernel FLOPs grow as rows^2,
+    # so stay small; larger blocks only amortize grid overheads. Must
+    # also fit the VMEM budget at this context length.
+    for bn in (8, 4, 2):
+        if n % bn == 0 and kernel_fits(n_caches, bn, tp, d):
+            return bn
+    return 1
+
+
+def decode_cache_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pos: jax.Array,
+    n_head: int,
+    *,
+    anc_local: jax.Array | None = None,
+    beam: int = 1,
+    q_cs: jax.Array | None = None,
+    k_cs: jax.Array | None = None,
+    gate: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """One decode step of masked cache attention: (N, d) output.
+
+    q (N, d) pre-scaled by d_head**-0.5; k/v (N, Tp, d) with
+    Tp % TIME_ALIGN == 0; pos scalar int32 (positions > pos masked).
+    With `anc_local` (N, Tp) and beam > 1, rows are read through the
+    ancestry map within each beam group (exact one-hot semantics of
+    `decode/beam.py`). PE dual-QK: pass q_cs/k_cs and the per-head f32
+    `gate` (post-sigmoid). Callers should consult `use_decode_kernel` /
+    `kernel_fits` and keep an XLA fallback.
+    """
+    pos = jnp.asarray(pos, jnp.int32)
+    # off-TPU (forced AGACS_DECODE_KERNEL=pallas in tests) run interpreted
+    interpret = interpret or jax.default_backend() != "tpu"
+    n, tp, _ = k.shape
+    pe = q_cs is not None
+    if anc_local is None or beam <= 1:
+        # independent rows: identity ancestry over small pseudo-groups
+        beam = _pick_rows(n, tp, k.shape[2], 3 if pe else 2)
+        anc_local = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None] % beam, (n, tp)
+        )
+    if pe:
+        return _call(
+            pos, (gate, q, q_cs, k, k_cs, v, anc_local), n_head, beam, True,
+            interpret=interpret,
+        )
+    return _call(
+        pos, (q, k, v, anc_local), n_head, beam, False, interpret=interpret
+    )
+
+
+def decode_cache_attention_ref(
+    q, k, v, pos, n_head, *, anc_local=None, beam=1, q_cs=None, k_cs=None,
+    gate=None
+):
+    """Pure-jnp oracle with identical semantics (tests/CPU)."""
+    n, tp, d = k.shape
+    d_head = d // n_head
+    hm = (
+        (jnp.arange(d)[:, None] // d_head) == jnp.arange(n_head)[None, :]
+    ).astype(k.dtype)
+
+    def logits(q_r, k_r):
+        qb = q_r[:, :, None] * hm[None]
+        return jnp.einsum("ntd,ndh->nth", k_r, qb).astype(jnp.float32)
+
+    if anc_local is not None and beam > 1:
+        g_n = n // beam
+        kg = k.reshape(g_n, beam, tp, d)
+        qg = q.reshape(g_n, beam, d)
+        sel = jax.nn.one_hot(
+            anc_local.reshape(g_n, beam, tp), beam, dtype=jnp.float32
+        )  # (g, q, t, j)
+
+        def glogits(qg_, kg_):
+            qb = qg_[..., None] * hm[None, None]
+            s = jnp.einsum("gjtd,gqdh->gjtqh", kg_, qb).astype(jnp.float32)
+            return jnp.einsum("gjtqh,gqtj->gqth", s, sel)
+
+        s = glogits(qg, kg)
+        if q_cs is not None:
+            gt = gate.astype(jnp.float32)[None, None, None, :]
+            s = (1.0 - gt) * s + gt * glogits(
+                q_cs.reshape(g_n, beam, d), k_cs.reshape(g_n, beam, tp, d)
+            )
+        t_ids = jnp.arange(tp)[None, None, :, None]
+        s = jnp.where(t_ids <= pos, s, -1.0e30)
+        p = jax.nn.softmax(s, axis=2)  # (g, q, t, h)
+        w = jnp.einsum("gqth,gqtj->gqjth", p, sel)
+        vg = v.reshape(g_n, beam, tp, n_head, d_head)
+        o = jnp.einsum(
+            "gqjth,gjthc->gqhc", w.astype(v.dtype), vg
+        ).reshape(g_n, beam, d)
+        return o.reshape(n, d).astype(q.dtype)
+
+    s = logits(q, k)
+    if q_cs is not None:
+        gt = gate.astype(jnp.float32)[None, None, :]
+        s = (1.0 - gt) * s + gt * logits(q_cs, k_cs)
+    t_ids = jnp.arange(tp)[None, :, None]
+    s = jnp.where(t_ids <= pos, s, -1.0e30)
+    p = jax.nn.softmax(s, axis=1)  # (n, t, h)
+    vg = v.reshape(n, tp, n_head, d_head)
+    o = jnp.einsum("nth,nthc->nhc", p.astype(v.dtype), vg).reshape(n, d)
+    return o.astype(q.dtype)

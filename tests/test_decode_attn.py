@@ -1,0 +1,113 @@
+"""Pallas decode-attention kernel vs pure-jnp oracle (interpret mode).
+
+The compiled kernel's on-TPU token parity is exercised by the driver
+bench and the verify drive; here the kernel logic itself (block-diagonal
+query expansion, ancestry one-hot reads, PE gate mix, masking) runs
+through the Pallas interpreter on CPU against an einsum oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.ops.decode_attn import (
+    TIME_ALIGN,
+    decode_cache_attention,
+    decode_cache_attention_ref,
+    kernel_fits,
+    pad_time,
+)
+
+N, TP, D, H = 8, 32, 64, 4
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.RandomState(0)
+
+    def mk(*shape):
+        return jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.3)
+
+    return {
+        "q": mk(N, D), "k": mk(N, TP, D), "v": mk(N, TP, D),
+        "q_cs": mk(N, D), "k_cs": mk(N, TP, D),
+        "gate": jnp.asarray(rng.rand(H).astype(np.float32)),
+        "anc": jnp.asarray(rng.randint(0, 4, (N, TP)), jnp.int32),
+    }
+
+
+@pytest.mark.parametrize("pos", [0, 5, TP - 1])
+def test_plain(data, pos):
+    o_k = decode_cache_attention(
+        data["q"], data["k"], data["v"], pos, H, interpret=True
+    )
+    o_r = decode_cache_attention_ref(data["q"], data["k"], data["v"], pos, H)
+    np.testing.assert_allclose(o_k, o_r, atol=1e-6)
+
+
+def test_plain_pe(data):
+    kw = dict(q_cs=data["q_cs"], k_cs=data["k_cs"], gate=data["gate"])
+    o_k = decode_cache_attention(
+        data["q"], data["k"], data["v"], 7, H, interpret=True, **kw
+    )
+    o_r = decode_cache_attention_ref(data["q"], data["k"], data["v"], 7, H, **kw)
+    np.testing.assert_allclose(o_k, o_r, atol=1e-6)
+
+
+@pytest.mark.parametrize("pe", [False, True])
+def test_grouped_ancestry(data, pe):
+    kw = dict(anc_local=data["anc"], beam=4)
+    if pe:
+        kw.update(q_cs=data["q_cs"], k_cs=data["k_cs"], gate=data["gate"])
+    o_k = decode_cache_attention(
+        data["q"], data["k"], data["v"], 9, H, interpret=True, **kw
+    )
+    o_r = decode_cache_attention_ref(data["q"], data["k"], data["v"], 9, H, **kw)
+    np.testing.assert_allclose(o_k, o_r, atol=1e-6)
+
+
+def test_grouped_matches_physical_gather(data):
+    """Ancestry reads must equal attention over physically gathered rows."""
+    beam = 4
+    rng = np.random.RandomState(1)
+    # a realistic ancestry map: position t of row i lives in row anc[i, t]
+    anc = np.zeros((N, TP), np.int32)
+    for g in range(N // beam):
+        for t in range(TP):
+            anc[g * beam:(g + 1) * beam, t] = rng.randint(0, beam, beam)
+    anc_j = jnp.asarray(anc)
+    o_k = decode_cache_attention(
+        data["q"], data["k"], data["v"], TP - 1, H,
+        anc_local=anc_j, beam=beam, interpret=True,
+    )
+    # physical gather: k_phys[i, t] = k[group(i)*beam + anc[i, t], t]
+    k_np, v_np = np.asarray(data["k"]), np.asarray(data["v"])
+    kg = np.zeros_like(k_np)
+    vg = np.zeros_like(v_np)
+    for i in range(N):
+        g0 = (i // beam) * beam
+        for t in range(TP):
+            kg[i, t] = k_np[g0 + anc[i, t], t]
+            vg[i, t] = v_np[g0 + anc[i, t], t]
+    o_r = decode_cache_attention_ref(
+        data["q"], jnp.asarray(kg), jnp.asarray(vg), TP - 1, H
+    )
+    np.testing.assert_allclose(o_k, o_r, atol=1e-6)
+
+
+def test_mask_ignores_padded_rows(data):
+    """Rows beyond pos (incl. TIME_ALIGN padding) must not contribute."""
+    k_bad = data["k"].at[:, 10:, :].set(1e9)
+    v_bad = data["v"].at[:, 10:, :].set(1e9)
+    o_k = decode_cache_attention(data["q"], k_bad, v_bad, 9, H, interpret=True)
+    o_r = decode_cache_attention_ref(data["q"], data["k"], data["v"], 9, H)
+    np.testing.assert_allclose(o_k, o_r, atol=1e-6)
+
+
+def test_helpers():
+    assert pad_time(105) == 112
+    assert pad_time(TIME_ALIGN) == TIME_ALIGN
+    assert kernel_fits(2, 5, 112, 768)
+    assert not kernel_fits(3, 16, 448, 1280)
