@@ -222,12 +222,13 @@ def main(argv: list[str] | None = None) -> dict:
             geometric_s_buckets,
         )
 
-        _sbuckets = geometric_s_buckets()
+        _sbuckets = geometric_s_buckets(ratio=tcfg.shape_ratio)
 
         def sample_epoch(lens, shuffle=False, seed=0):
             return fixed_shape_batches(
                 lens, tcfg.batch_bins, b_grid=b_grid,
                 shuffle_batches=shuffle, seed=seed,
+                ratio=tcfg.shape_ratio,
             )
 
         def s_pad_of(mx):

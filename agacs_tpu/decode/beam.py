@@ -103,8 +103,8 @@ def beam_decode(
             return out
     else:
         # physical gather (oracle / side-network path): trunk k/v/k_cs
-        # are per-layer tuples with batch on axis 0; side caches are
-        # stacked (L_side, N, T, d) with batch on axis 1
+        # and the side-ladder caches are all per-layer tuples with
+        # batch on axis 0
         def reorder_fn(state, flat_parent):
             out = {}
             for key, val in state.items():

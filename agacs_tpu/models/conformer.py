@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from agacs_tpu.models.whisper import layer_norm, linear
+from agacs_tpu.ops import decode_attn
 
 Params = Any
 
@@ -508,6 +509,8 @@ def init_decoder_kv_cache(cfg: TransformerDecoderConfig, batch: int, max_len: in
     # dynamic_update_slice updates in place and the qk dot reads whole
     # buffers (same redesign as whisper's init_self_kv_cache;
     # docs/PERF.md round-3)
+    max_len = decode_attn.pad_time(max_len)  # Pallas tile alignment
+
     def bufs():
         return tuple(
             jnp.zeros((batch, max_len, cfg.d_model), cfg.compute_dtype)
@@ -573,6 +576,7 @@ def transformer_decode_step(
     head_block = (
         (jnp.arange(d) // dk)[:, None] == jnp.arange(n_head)[None, :]
     ).astype(cfg.compute_dtype)
+    use_kernel = decode_attn.use_decode_kernel()
     kv_k, kv_v = list(self_kv["k"]), list(self_kv["v"])
     h = x
     for l in range(cfg.num_blocks):
@@ -586,14 +590,21 @@ def transformer_decode_step(
         kv_v[l] = jax.lax.dynamic_update_slice(
             kv_v[l], linear(hn, bp["self_attn"]["v"]), (0, pos, 0)
         )
-        qb = q[:, 0][:, :, None] * head_block[None]  # (B, d, h)
-        score = jnp.einsum("btd,bdh->bth", kv_k[l], qb).astype(
-            jnp.float32
-        ) / math.sqrt(dk)
-        score = jnp.where(key_mask_th, score, -jnp.inf)
-        w = jax.nn.softmax(score, -2).astype(h.dtype)  # (B, T, h)
-        v_g = kv_v[l].reshape(b, max_len, n_head, dk)
-        att = (w[..., None] * v_g).sum(axis=1).reshape(b, 1, d)
+        if use_kernel:
+            # fused Pallas cache attention (ops/decode_attn.py; same
+            # kernel as whisper_decode_step — docs/PERF.md round-3)
+            att = decode_attn.decode_cache_attention(
+                q[:, 0] * (dk ** -0.5), kv_k[l], kv_v[l], pos, n_head
+            )[:, None, :]
+        else:
+            qb = q[:, 0][:, :, None] * head_block[None]  # (B, d, h)
+            score = jnp.einsum("btd,bdh->bth", kv_k[l], qb).astype(
+                jnp.float32
+            ) / math.sqrt(dk)
+            score = jnp.where(key_mask_th, score, -jnp.inf)
+            w = jax.nn.softmax(score, -2).astype(h.dtype)  # (B, T, h)
+            v_g = kv_v[l].reshape(b, max_len, n_head, dk)
+            att = (w[..., None] * v_g).sum(axis=1).reshape(b, 1, d)
         h = h + linear(att, bp["self_attn"]["out"])
 
         hn = layer_norm(h, bp["src_ln"])

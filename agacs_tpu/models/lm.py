@@ -25,6 +25,7 @@ from agacs_tpu.models.conformer import (
     sinusoidal_pe,
 )
 from agacs_tpu.models.whisper import layer_norm, linear
+from agacs_tpu.ops import decode_attn
 from agacs_tpu.train.losses import IGNORE_ID
 
 
@@ -117,6 +118,8 @@ def init_lm_kv_cache(cfg: TransformerLMConfig, batch: int, max_len: int) -> dict
     # layer's row dynamic_update_slice updates in place (one-consumer
     # version chain) and the qk dot reads the whole buffer in its
     # stored layout (docs/PERF.md round-3 tuple-cache section).
+    max_len = decode_attn.pad_time(max_len)  # Pallas tile alignment
+
     def bufs():
         return tuple(
             jnp.zeros((batch, max_len, cfg.d_model), cfg.compute_dtype)
@@ -154,6 +157,7 @@ def lm_score_step_cached(
     head_block = (
         (jnp.arange(d) // dk)[:, None] == jnp.arange(n_head)[None, :]
     ).astype(cfg.compute_dtype)
+    use_kernel = decode_attn.use_decode_kernel()
     kv_k, kv_v = list(kv["k"]), list(kv["v"])
     h = x
     for l in range(cfg.num_blocks):
@@ -166,14 +170,20 @@ def lm_score_step_cached(
             kv_v[l], linear(hn, bp["attn"]["v"]), (0, pos, 0)
         )
         q = linear(hn, bp["attn"]["q"])
-        qb = q[:, 0][:, :, None] * head_block[None]  # (B, d, h)
-        score = jnp.einsum("btd,bdh->bth", kv_k[l], qb).astype(
-            jnp.float32
-        ) / math.sqrt(dk)
-        score = jnp.where(key_mask_th, score, -jnp.inf)
-        w = jax.nn.softmax(score, -2).astype(h.dtype)  # (B, T, h)
-        v_g = kv_v[l].reshape(b, max_len, n_head, dk)
-        att = (w[..., None] * v_g).sum(axis=1).reshape(b, 1, d)
+        if use_kernel:
+            # fused Pallas cache attention (ops/decode_attn.py)
+            att = decode_attn.decode_cache_attention(
+                q[:, 0] * (dk ** -0.5), kv_k[l], kv_v[l], pos, n_head
+            )[:, None, :]
+        else:
+            qb = q[:, 0][:, :, None] * head_block[None]  # (B, d, h)
+            score = jnp.einsum("btd,bdh->bth", kv_k[l], qb).astype(
+                jnp.float32
+            ) / math.sqrt(dk)
+            score = jnp.where(key_mask_th, score, -jnp.inf)
+            w = jax.nn.softmax(score, -2).astype(h.dtype)  # (B, T, h)
+            v_g = kv_v[l].reshape(b, max_len, n_head, dk)
+            att = (w[..., None] * v_g).sum(axis=1).reshape(b, 1, d)
         h = h + linear(att, bp["attn"]["out"])
         h = h + _ffn_fwd2(bp["ffn"], layer_norm(h, bp["ffn_ln"]))
 

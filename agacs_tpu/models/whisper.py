@@ -861,11 +861,17 @@ def init_self_kv_cache(
             (1, batch, max_len),
         )
     if cfg.side_network is not None:
-        sshape = (
-            len(cfg.side_network.layers), batch, max_len, cfg.side_network.n_dim
-        )
-        cache["side_k"] = jnp.zeros(sshape, cfg.compute_dtype)
-        cache["side_v"] = jnp.zeros(sshape, cfg.compute_dtype)
+        def side_bufs():
+            return tuple(
+                jnp.zeros(
+                    (batch, max_len, cfg.side_network.n_dim),
+                    cfg.compute_dtype,
+                )
+                for _ in cfg.side_network.layers
+            )
+
+        cache["side_k"] = side_bufs()
+        cache["side_v"] = side_bufs()
     return cache
 
 
@@ -1130,10 +1136,11 @@ def _side_decode_step(params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, 
     scale = (side.n_dim // side.n_head) ** -0.25
 
     h_side = linear(x_embed, sp["downsample_input"])
-    # write-first threaded row updates, like the trunk loop: each
-    # version of the stacked buffer has one ordered consumer chain so
-    # the row DUS aliases in place (no per-step stack of full copies)
-    side_k, side_v = self_kv["side_k"], self_kv["side_v"]
+    # per-layer tuple buffers with write-first row updates, like the
+    # trunk loop (docs/PERF.md round-3); the fused Pallas kernel reads
+    # each ladder cache in its stored (B, Tp, n_dim) layout on TPU
+    use_kernel = decode_attn.use_decode_kernel()
+    side_k, side_v = list(self_kv["side_k"]), list(self_kv["side_v"])
     for i, layer_idx in enumerate(side.layers):
         bp = jax.tree.map(lambda a: a[i], sp["blocks"])
         down = linear(trunk_outs[layer_idx], jax.tree.map(lambda a: a[i], sp["downsample_layers"]))
@@ -1142,19 +1149,27 @@ def _side_decode_step(params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, 
 
         # self-attention with cache
         y = layer_norm(h, bp["attn_ln"])
-        side_k = jax.lax.dynamic_update_slice(
-            side_k, linear(y, bp["attn"]["key"])[None], (i, 0, pos, 0)
+        side_k[i] = jax.lax.dynamic_update_slice(
+            side_k[i], linear(y, bp["attn"]["key"]), (0, pos, 0)
         )
-        side_v = jax.lax.dynamic_update_slice(
-            side_v, linear(y, bp["attn"]["value"])[None], (i, 0, pos, 0)
+        side_v[i] = jax.lax.dynamic_update_slice(
+            side_v[i], linear(y, bp["attn"]["value"]), (0, pos, 0)
         )
-        qh = _split_heads(linear(y, bp["attn"]["query"]), n_head) * scale
-        kh = _split_heads(side_k[i], n_head) * scale
-        vh = _split_heads(side_v[i], n_head)
-        qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
-        qk = jnp.where(key_mask, qk, -jnp.inf)
-        w = jax.nn.softmax(qk, -1).astype(vh.dtype)
-        h = h + linear(_merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, vh)), bp["attn"]["out"])
+        q_lin = linear(y, bp["attn"]["query"])
+        if use_kernel:
+            att = decode_attn.decode_cache_attention(
+                q_lin[:, 0] * (scale * scale), side_k[i], side_v[i], pos,
+                n_head,
+            )[:, None, :]
+        else:
+            qh = _split_heads(q_lin, n_head) * scale
+            kh = _split_heads(side_k[i], n_head) * scale
+            vh = _split_heads(side_v[i], n_head)
+            qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+            qk = jnp.where(key_mask, qk, -jnp.inf)
+            w = jax.nn.softmax(qk, -1).astype(vh.dtype)
+            att = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, vh))
+        h = h + linear(att, bp["attn"]["out"])
 
         # cross-attention over the downsampled memory (precomputed K/V)
         y = layer_norm(h, bp["cross_attn_ln"])
@@ -1169,4 +1184,4 @@ def _side_decode_step(params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, 
         h_side = h
 
     out = layer_norm(linear(h_side, sp["upsample_output"]), sp["ln"])
-    return out, {"side_k": side_k, "side_v": side_v}
+    return out, {"side_k": tuple(side_k), "side_v": tuple(side_v)}

@@ -192,6 +192,12 @@ def _bench_inference():
     for name, b, fn in (
         ("greedy_8x15s", 8,
          lambda enc: greedy_decode(params, cfg, enc, max_steps=100)),
+        ("beam5_1x15s", 1,  # single-utterance serving latency
+         lambda enc: beam_decode(params, cfg, enc, beam_size=5,
+                                 max_steps=100, loop="scan")),
+        ("beam5_8x15s", 8,
+         lambda enc: beam_decode(params, cfg, enc, beam_size=5,
+                                 max_steps=100, loop="scan")),
         ("beam5_32x15s", 32,
          lambda enc: beam_decode(params, cfg, enc, beam_size=5,
                                  max_steps=100, loop="scan")),

@@ -106,6 +106,19 @@ def test_mask_ignores_padded_rows(data):
     np.testing.assert_allclose(o_k, o_r, atol=1e-6)
 
 
+def test_lane_unaligned_dims():
+    """Side-ladder dims: d=192 (not a 128 multiple), H=4 — the cache
+    block's trailing dim spans the array so Mosaic accepts it."""
+    rng = np.random.RandomState(2)
+    n, tp, d, h = 6, 16, 192, 4
+    q = jnp.asarray(rng.randn(n, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(n, tp, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(n, tp, d).astype(np.float32) * 0.3)
+    o_k = decode_cache_attention(q, k, v, 11, h, interpret=True)
+    o_r = decode_cache_attention_ref(q, k, v, 11, h)
+    np.testing.assert_allclose(o_k, o_r, atol=1e-6)
+
+
 def test_helpers():
     assert pad_time(105) == 112
     assert pad_time(TIME_ALIGN) == TIME_ALIGN

@@ -47,7 +47,7 @@ def text_tokens_for(n_samples: int, rng) -> int:
 
 
 def census(lengths: dict[str, int], batch_bins: int, b_grid: int,
-           epochs: int, batch_type: str, seed: int = 0):
+           epochs: int, batch_type: str, seed: int = 0, ratio=1.3):
     from agacs_tpu.data.sampler import (
         fixed_shape_batches,
         geometric_s_buckets,
@@ -55,7 +55,7 @@ def census(lengths: dict[str, int], batch_bins: int, b_grid: int,
 
     rng = np.random.RandomState(seed + 1)
     tok = {u: text_tokens_for(n, rng) for u, n in lengths.items()}
-    sbuckets = geometric_s_buckets()
+    sbuckets = geometric_s_buckets(ratio=ratio)
 
     def s_pad_of(mx):
         if batch_type == "fixed_shapes":
@@ -75,7 +75,7 @@ def census(lengths: dict[str, int], batch_bins: int, b_grid: int,
         if batch_type == "fixed_shapes":
             batches = fixed_shape_batches(
                 lengths, batch_bins, b_grid=b_grid,
-                shuffle_batches=True, seed=seed + ep,
+                shuffle_batches=True, seed=seed + ep, ratio=ratio,
             )
         else:
             batches = num_elements_batches(
@@ -108,6 +108,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--utts", type=int, default=100_000)
     ap.add_argument("--batch_bins", type=int, default=8_000_000)
+    ap.add_argument("--ratio", type=float, default=1.3)
     ap.add_argument("--n_data", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=2)
     args = ap.parse_args()
@@ -116,7 +117,8 @@ def main():
     lengths = seame_like_lengths(args.utts)
     print(f"utts={args.utts} batch_bins={args.batch_bins} b_grid={b_grid}")
     for batch_type in ("numel", "fixed_shapes"):
-        r = census(lengths, args.batch_bins, b_grid, args.epochs, batch_type)
+        r = census(lengths, args.batch_bins, b_grid, args.epochs, batch_type,
+                   ratio=args.ratio)
         print(f"--- {batch_type}")
         for k, v in r.items():
             if k == "shapes":
