@@ -1,0 +1,145 @@
+"""Kernel-path vs XLA-path parity at the DECODE-STEP level.
+
+The fused Pallas cache-attention kernel (ops/decode_attn.py) is gated by
+AGACS_DECODE_KERNEL and off-TPU runs interpreted, so these tests force
+both branches of every integration site on CPU and compare outputs —
+pinning the per-site scaling conventions (q pre-scale, PE gate, side
+ladder) that the kernel-only unit tests cannot see. f32 compute dtype
+keeps both paths' accumulation comparable.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from agacs_tpu.models.whisper import (
+    SideNetworkConfig,
+    WhisperConfig,
+    init_self_kv_cache,
+    init_whisper_params,
+    precompute_cross_kv,
+    whisper_decode_step,
+)
+
+B, T_ENC = 2, 8
+
+
+def _whisper_cfg(**kw):
+    return WhisperConfig(
+        n_mels=80, n_audio_ctx=T_ENC, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=128, n_text_ctx=32, n_text_state=64,
+        n_text_head=4, n_text_layer=2, **kw,
+    )
+
+
+def _run_whisper_steps(cfg, mode, monkeypatch, beam=1, ancestry=False):
+    monkeypatch.setenv("AGACS_DECODE_KERNEL", mode)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    n = B * beam
+    enc = jnp.asarray(rng.randn(B, T_ENC, 64).astype(np.float32) * 0.3)
+    if beam > 1 and cfg.side_network is None:
+        cross = precompute_cross_kv(params, cfg, enc)
+        groups = beam
+    else:
+        cross = precompute_cross_kv(params, cfg, jnp.repeat(enc, beam, 0))
+        groups = 1
+    kv = init_self_kv_cache(cfg, batch=n, max_len=16, ancestry=ancestry)
+    toks = jnp.asarray(rng.randint(0, 128, (n, 3)), jnp.int32)
+    outs = []
+    for p in range(3):
+        logits, kv = whisper_decode_step(
+            params, cfg, toks[:, p], jnp.int32(p), kv, cross,
+            beam_groups=groups,
+        )
+        outs.append(logits)
+        if ancestry and "anc" in kv:
+            # shuffle the ancestry map like a beam reorder would
+            perm = np.asarray(
+                [g * beam + (np.arange(beam) + 1) % beam for g in range(B)]
+            ).reshape(-1)
+            kv["anc"] = kv["anc"][:, perm]
+    return jnp.stack(outs)
+
+
+@pytest.mark.parametrize(
+    "variant", ["base", "pe", "beam_anc", "pe_beam_anc", "side"]
+)
+def test_whisper_step_kernel_matches_xla(variant, monkeypatch):
+    kw, beam, anc = {}, 1, False
+    if "pe" in variant:
+        kw["pe_attention"] = True
+    if "side" in variant:
+        kw["side_network"] = SideNetworkConfig(n_dim=32, n_head=4, layers=(0, 1))
+    if "beam_anc" in variant:
+        beam, anc = 3, True
+    cfg = _whisper_cfg(**kw)
+    a = _run_whisper_steps(cfg, "xla", monkeypatch, beam=beam, ancestry=anc)
+    b = _run_whisper_steps(cfg, "pallas", monkeypatch, beam=beam, ancestry=anc)
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_conformer_step_kernel_matches_xla(monkeypatch):
+    from agacs_tpu.models.conformer import (
+        TransformerDecoderConfig,
+        init_decoder_kv_cache,
+        init_transformer_decoder_params,
+        precompute_decoder_cross_kv,
+        transformer_decode_step,
+    )
+
+    cfg = TransformerDecoderConfig(
+        vocab_size=50, attention_heads=4, linear_units=64, num_blocks=2,
+        d_model=32,
+    )
+    params = init_transformer_decoder_params(jax.random.PRNGKey(0), cfg)
+    mem = jax.random.normal(jax.random.PRNGKey(1), (B, 9, 32))
+    mlens = jnp.array([9, 7])
+    rng = np.random.RandomState(0)
+    toks = jnp.asarray(rng.randint(0, 50, (B, 3)), jnp.int32)
+
+    def run(mode):
+        monkeypatch.setenv("AGACS_DECODE_KERNEL", mode)
+        cross = precompute_decoder_cross_kv(params, cfg, mem)
+        kv = init_decoder_kv_cache(cfg, B, 16)
+        outs = []
+        for p in range(3):
+            lg, kv = transformer_decode_step(
+                params, cfg, toks[:, p], jnp.int32(p), kv, cross, mlens
+            )
+            outs.append(lg)
+        return jnp.stack(outs)
+
+    np.testing.assert_allclose(run("xla"), run("pallas"), atol=2e-4, rtol=2e-4)
+
+
+def test_lm_step_kernel_matches_xla(monkeypatch):
+    from agacs_tpu.models.lm import (
+        TransformerLMConfig,
+        init_lm_kv_cache,
+        init_lm_params,
+        lm_score_step_cached,
+    )
+
+    cfg = TransformerLMConfig(
+        vocab_size=50, d_model=32, attention_heads=4, linear_units=64,
+        num_blocks=2,
+    )
+    params = init_lm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    toks = jnp.asarray(rng.randint(0, 50, (B, 3)), jnp.int32)
+
+    def run(mode):
+        monkeypatch.setenv("AGACS_DECODE_KERNEL", mode)
+        kv = init_lm_kv_cache(cfg, B, 16)
+        outs = []
+        for p in range(3):
+            lp, kv = lm_score_step_cached(
+                params, cfg, toks[:, p], jnp.int32(p), kv
+            )
+            outs.append(lp)
+        return jnp.stack(outs)
+
+    np.testing.assert_allclose(run("xla"), run("pallas"), atol=2e-4, rtol=2e-4)
