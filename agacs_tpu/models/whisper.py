@@ -962,10 +962,11 @@ def whisper_decode_step(
             anc, jnp.arange(n, dtype=jnp.int32).reshape(1, n, 1), (0, 0, pos)
         )
     # grouped kernel blocks must fit VMEM (beam x padded-context x
-    # 2-or-3 caches); otherwise keep the XLA formulation
+    # 2-or-3 caches) either single-block or time-chunked; otherwise keep
+    # the XLA formulation
     use_kernel = decode_attn.use_decode_kernel() and (
         beam_groups <= 1
-        or decode_attn.kernel_fits(
+        or decode_attn.kernel_viable(
             3 if cfg.pe_attention else 2, beam_groups, max_len, d
         )
     )

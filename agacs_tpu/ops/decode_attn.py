@@ -58,8 +58,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 TIME_ALIGN = 16  # bf16 sublane tile; keeps cache blocks tile-aligned
 
-# VMEM budget for the double-buffered cache blocks; above this the caller
-# should fall back to the XLA path (wide beams x long contexts x PE).
+# VMEM budget for the double-buffered cache blocks; above this the
+# dispatcher switches to the time-chunked online-softmax kernel (and the
+# caller falls back to XLA only if no chunking divides the context).
 # Measured on v5e: 2-cache beam-5 whisper-small blocks at T=448 (13.8 MB)
 # compile; the 3-cache PE variant (20.6 MB) exhausts VMEM.
 _VMEM_BUDGET = 14 * 1024 * 1024
@@ -84,6 +85,33 @@ def use_decode_kernel() -> bool:
 def kernel_fits(n_caches: int, rows: int, tp: int, d: int, itemsize: int = 2):
     """Do the double-buffered cache blocks fit the VMEM budget?"""
     return 2 * n_caches * rows * tp * d * itemsize <= _VMEM_BUDGET
+
+
+def pick_chunk(n_caches: int, rows: int, tp: int, d: int) -> int | None:
+    """Smallest chunk count whose (rows, tc, d) cache blocks fit VMEM.
+
+    Returns the chunk length tc (a TIME_ALIGN-multiple divisor of tp), or
+    None when no valid chunking exists. Used when the single-block kernel
+    would exhaust VMEM (wide beams x long contexts x the 3-cache PE
+    variant): the chunked kernel runs an online-softmax carry over a
+    second grid dimension, so per-step VMEM scales with tc, not tp.
+    """
+    for nc in range(2, tp // TIME_ALIGN + 1):
+        if tp % nc:
+            continue
+        tc = tp // nc
+        if tc % TIME_ALIGN:
+            continue
+        if kernel_fits(n_caches, rows, tc, d):
+            return tc
+    return None
+
+
+def kernel_viable(n_caches: int, rows: int, tp: int, d: int) -> bool:
+    """Can the kernel run at these shapes (single-block or time-chunked)?"""
+    return kernel_fits(n_caches, rows, tp, d) or (
+        pick_chunk(n_caches, rows, tp, d) is not None
+    )
 
 
 def _row_spec(*dims):
@@ -268,6 +296,195 @@ def _call(pos, args, n_head, beam, pe, interpret=False):
     return out.reshape(n, d)
 
 
+def _make_kernel_chunked(n_head, j, pe, nc, tc):
+    """Time-chunked variant: one beam group x one time chunk per grid step.
+
+    Same math as `_make_kernel` per chunk, joined across chunks by the
+    standard online-softmax recurrence (flash-decoding): VMEM scratch
+    carries the running per-column max m, normalizer s, and the
+    UN-normalized f32 value accumulator; the final chunk normalizes and
+    extracts heads. Grid iteration on TPU is sequential with the chunk
+    axis minor, so the scratch carry is race-free by construction.
+    """
+
+    def kern(pos_ref, *refs):
+        if pe:
+            (gate_ref, q_ref, qcs_ref, k_ref, kcs_ref, v_ref, anc_ref,
+             o_ref, m_ref, s_ref, acc_ref) = refs
+        else:
+            q_ref, k_ref, v_ref, anc_ref, o_ref, m_ref, s_ref, acc_ref = refs
+            gate_ref = qcs_ref = kcs_ref = None
+        pos = pos_ref[0]
+        c = pl.program_id(1)
+        d = k_ref.shape[-1]
+        h = n_head
+        m = j * h
+        d_head = d // h
+        f32 = jnp.float32
+
+        colq = (
+            jax.lax.broadcasted_iota(jnp.int32, (j, m), 1) // h
+            == jax.lax.broadcasted_iota(jnp.int32, (j, m), 0)
+        ).astype(f32)
+        hrep = (
+            jax.lax.broadcasted_iota(jnp.int32, (d, m), 0) // d_head
+            == jax.lax.broadcasted_iota(jnp.int32, (d, m), 1) % h
+        ).astype(f32)
+
+        def qb_of(q_r):
+            qt = q_r[0].astype(f32).T
+            return (
+                jax.lax.dot_general(
+                    qt, colq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                * hrep
+            ).astype(k_ref.dtype)
+
+        qb = qb_of(q_ref)
+        qb_cs = qb_of(qcs_ref) if pe else None
+
+        # cache blocks arrive (j, tc, d); the leading-dim merge to the
+        # flat dot operand is a sublane-layout no-op (the minor two dims
+        # are untouched), unlike the minor-dim merges Mosaic rejects
+        k_flat = k_ref[:].reshape(j * tc, d)
+        v_flat = v_ref[:].reshape(j * tc, d)
+        s_all = jax.lax.dot_general(
+            k_flat, qb, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )  # (j*tc, m)
+        if pe:
+            s_all_cs = jax.lax.dot_general(
+                kcs_ref[:].reshape(j * tc, d), qb_cs,
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+
+        anc_t = anc_ref[0].astype(jnp.int32)  # (tc, j_q): pre-transposed
+        sels = []
+        lg = jnp.zeros((tc, m), f32)
+        lg_cs = jnp.zeros((tc, m), f32) if pe else None
+        for jk in range(j):
+            sel_small = (anc_t == jk).astype(f32)
+            sel = jax.lax.dot_general(
+                sel_small, colq, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            sels.append(sel)
+            lg = lg + s_all[jk * tc:(jk + 1) * tc] * sel
+            if pe:
+                lg_cs = lg_cs + s_all_cs[jk * tc:(jk + 1) * tc] * sel
+
+        if pe:
+            ehm = (
+                jax.lax.broadcasted_iota(jnp.int32, (h, m), 1) % h
+                == jax.lax.broadcasted_iota(jnp.int32, (h, m), 0)
+            ).astype(f32)
+            g_m = jax.lax.dot_general(
+                gate_ref[:].astype(f32), ehm, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            lg = (1.0 - g_m) * lg + g_m * lg_cs
+
+        t_ids = c * tc + jax.lax.broadcasted_iota(jnp.int32, (tc, m), 0)
+        lg = jnp.where(t_ids <= pos, lg, -1.0e30)
+
+        @pl.when(c == 0)
+        def _init():
+            m_ref[:] = jnp.full((1, m), -1.0e30, f32)
+            s_ref[:] = jnp.zeros((1, m), f32)
+            acc_ref[:] = jnp.zeros((m, d), f32)
+
+        # online-softmax update: position 0 is always valid, so m is
+        # finite after chunk 0 and exp(-1e30 - m) underflows to exactly 0
+        # for fully-masked later chunks (alpha = 1, nothing accumulates)
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(lg, axis=0, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)  # (1, m)
+        p = jnp.exp(lg - m_new)  # (tc, m) un-normalized
+        s_ref[:] = alpha * s_ref[:] + jnp.sum(p, axis=0, keepdims=True)
+        m_ref[:] = m_new
+
+        w_rows = [(p * sels[jk]).astype(v_ref.dtype) for jk in range(j)]
+        w_full = jnp.concatenate(w_rows, axis=0)  # (j*tc, m)
+        big = jax.lax.dot_general(
+            w_full.T, v_flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (m, d)
+        acc_ref[:] = alpha.T * acc_ref[:] + big
+
+        @pl.when(c == nc - 1)
+        def _fin():
+            norm = acc_ref[:] / s_ref[:].T
+            o = jax.lax.dot_general(
+                colq, norm * hrep.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            o_ref[0] = o.astype(o_ref.dtype)
+
+    return kern
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "beam", "pe", "tc", "interpret")
+)
+def _call_chunked(pos, args, n_head, beam, pe, tc, interpret=False):
+    if pe:
+        gate, q, q_cs, k, k_cs, v, anc = args
+    else:
+        q, k, v, anc = args
+    n, tp, d = k.shape
+    g = n // beam
+    nc = tp // tc
+    m = beam * n_head
+    kern = _make_kernel_chunked(n_head, beam, pe, nc, tc)
+    # caches stay 3-D here: a (beam, tc, d) block of (N, Tp, d) — the
+    # minor two block dims satisfy Mosaic's (8, 128)-or-array-dim rule
+    # (tc % TIME_ALIGN == 0, d spans), and the chunk index maps cleanly
+    cache = pl.BlockSpec(
+        (beam, tc, d), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
+    )
+    row = pl.BlockSpec(
+        (1, beam, d), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # anc passes TRANSPOSED (g, Tp, beam): the minor block dim is then
+    # beam (== array dim), so tc only needs sublane (x8) alignment
+    anc_spec = pl.BlockSpec(
+        (1, tc, beam), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
+    )
+    anc_tr = jnp.swapaxes(anc.reshape(g, beam, tp), 1, 2)
+    if pe:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gate (1, H)
+            row, row,                                # q, q_cs
+            cache, cache, cache,                     # k, k_cs, v
+            anc_spec,
+        ]
+        ins = (
+            pos.reshape(1), gate.reshape(1, -1), q.reshape(g, beam, d),
+            q_cs.reshape(g, beam, d), k, k_cs, v, anc_tr,
+        )
+    else:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row, cache, cache, anc_spec,
+        ]
+        ins = (pos.reshape(1), q.reshape(g, beam, d), k, v, anc_tr)
+    out = pl.pallas_call(
+        kern,
+        grid=(g, nc),
+        in_specs=in_specs,
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((g, beam, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, m), jnp.float32),   # running max
+            pltpu.VMEM((1, m), jnp.float32),   # running normalizer
+            pltpu.VMEM((m, d), jnp.float32),   # un-normalized value acc
+        ],
+        interpret=interpret,
+    )(*ins)
+    return out.reshape(n, d)
+
+
 def _pick_rows(n: int, tp: int, d: int, n_caches: int) -> int:
     # pseudo-group size for the plain path: kernel FLOPs grow as rows^2,
     # so stay small; larger blocks only amortize grid overheads. Must
@@ -300,27 +517,33 @@ def decode_cache_attention(
     ancestry map within each beam group (exact one-hot semantics of
     `decode/beam.py`). PE dual-QK: pass q_cs/k_cs and the per-head f32
     `gate` (post-sigmoid). Callers should consult `use_decode_kernel` /
-    `kernel_fits` and keep an XLA fallback.
+    `kernel_viable` and keep an XLA fallback. Shapes whose single-block
+    cache blocks exceed the VMEM budget (e.g. the 3-cache PE variant at
+    full 448 ctx) dispatch to the time-chunked online-softmax kernel.
     """
     pos = jnp.asarray(pos, jnp.int32)
     # off-TPU (forced AGACS_DECODE_KERNEL=pallas in tests) run interpreted
     interpret = interpret or jax.default_backend() != "tpu"
-    n, tp, _ = k.shape
+    n, tp, d = k.shape
     pe = q_cs is not None
+    n_caches = 3 if pe else 2
     if anc_local is None or beam <= 1:
         # independent rows: identity ancestry over small pseudo-groups
-        beam = _pick_rows(n, tp, k.shape[2], 3 if pe else 2)
+        beam = _pick_rows(n, tp, d, n_caches)
         anc_local = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[:, None] % beam, (n, tp)
         )
-    if pe:
-        return _call(
-            pos, (gate, q, q_cs, k, k_cs, v, anc_local), n_head, beam, True,
-            interpret=interpret,
-        )
-    return _call(
-        pos, (q, k, v, anc_local), n_head, beam, False, interpret=interpret
+    args = (
+        (gate, q, q_cs, k, k_cs, v, anc_local) if pe
+        else (q, k, v, anc_local)
     )
+    if not kernel_fits(n_caches, beam, tp, d):
+        tc = pick_chunk(n_caches, beam, tp, d)
+        if tc is not None:
+            return _call_chunked(
+                pos, args, n_head, beam, pe, tc, interpret=interpret
+            )
+    return _call(pos, args, n_head, beam, pe, interpret=interpret)
 
 
 def decode_cache_attention_ref(

@@ -17,7 +17,9 @@ from agacs_tpu.ops.decode_attn import (
     decode_cache_attention,
     decode_cache_attention_ref,
     kernel_fits,
+    kernel_viable,
     pad_time,
+    pick_chunk,
 )
 
 N, TP, D, H = 8, 32, 64, 4
@@ -124,3 +126,57 @@ def test_helpers():
     assert pad_time(TIME_ALIGN) == TIME_ALIGN
     assert kernel_fits(2, 5, 112, 768)
     assert not kernel_fits(3, 16, 448, 1280)
+
+
+def test_chunk_helpers():
+    # the 3-cache PE variant at full 448 ctx: single-block overflows,
+    # chunking (tc=224: 2 chunks) fits
+    assert not kernel_fits(3, 5, 448, 768)
+    assert pick_chunk(3, 5, 448, 768) == 224
+    assert kernel_viable(3, 5, 448, 768)
+    # already fits -> still viable; tiny contexts with no valid divisor
+    assert kernel_viable(2, 5, 112, 768)
+    assert pick_chunk(3, 4096, 16, 768) is None
+
+
+@pytest.mark.parametrize("pe", [False, True])
+@pytest.mark.parametrize("pos", [3, 40, 63])
+def test_chunked_grouped(pe, pos, monkeypatch):
+    """Force the time-chunked dispatch via a tiny VMEM budget."""
+    from agacs_tpu.ops import decode_attn as da
+
+    rng = np.random.RandomState(3)
+    n, tp, d, h, beam = 8, 64, 64, 4, 4
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    q, k, v = mk(n, d), mk(n, tp, d), mk(n, tp, d)
+    anc = jnp.asarray(rng.randint(0, beam, (n, tp)), jnp.int32)
+    kw = dict(anc_local=anc, beam=beam)
+    if pe:
+        kw.update(
+            q_cs=mk(n, d), k_cs=mk(n, tp, d),
+            gate=jnp.asarray(rng.rand(h).astype(np.float32)),
+        )
+    n_caches = 3 if pe else 2
+    # budget fits one tc=32 chunk but not the tp=64 single block
+    budget = 2 * n_caches * beam * 32 * d * 2
+    monkeypatch.setattr(da, "_VMEM_BUDGET", budget)
+    assert da.pick_chunk(n_caches, beam, tp, d) == 32
+    o_k = decode_cache_attention(q, k, v, pos, h, interpret=True, **kw)
+    o_r = decode_cache_attention_ref(q, k, v, pos, h, **kw)
+    np.testing.assert_allclose(o_k, o_r, atol=2e-6)
+
+
+def test_chunked_plain(monkeypatch):
+    """Pseudo-grouped plain rows also dispatch through the chunked path
+    when even the smallest row block cannot hold the full context."""
+    from agacs_tpu.ops import decode_attn as da
+
+    rng = np.random.RandomState(4)
+    n, tp, d, h = 4, 64, 64, 4
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    q, k, v = mk(n, d), mk(n, tp, d), mk(n, tp, d)
+    budget = 2 * 2 * 1 * 16 * d * 2  # even rows=1 fits only at tc=16
+    monkeypatch.setattr(da, "_VMEM_BUDGET", budget)
+    o_k = decode_cache_attention(q, k, v, 50, h, interpret=True)
+    o_r = decode_cache_attention_ref(q, k, v, 50, h)
+    np.testing.assert_allclose(o_k, o_r, atol=2e-6)

@@ -34,7 +34,9 @@ def _whisper_cfg(**kw):
     )
 
 
-def _run_whisper_steps(cfg, mode, monkeypatch, beam=1, ancestry=False):
+def _run_whisper_steps(
+    cfg, mode, monkeypatch, beam=1, ancestry=False, max_len=16
+):
     monkeypatch.setenv("AGACS_DECODE_KERNEL", mode)
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
@@ -46,7 +48,7 @@ def _run_whisper_steps(cfg, mode, monkeypatch, beam=1, ancestry=False):
     else:
         cross = precompute_cross_kv(params, cfg, jnp.repeat(enc, beam, 0))
         groups = 1
-    kv = init_self_kv_cache(cfg, batch=n, max_len=16, ancestry=ancestry)
+    kv = init_self_kv_cache(cfg, batch=n, max_len=max_len, ancestry=ancestry)
     toks = jnp.asarray(rng.randint(0, 128, (n, 3)), jnp.int32)
     outs = []
     for p in range(3):
@@ -78,6 +80,27 @@ def test_whisper_step_kernel_matches_xla(variant, monkeypatch):
     cfg = _whisper_cfg(**kw)
     a = _run_whisper_steps(cfg, "xla", monkeypatch, beam=beam, ancestry=anc)
     b = _run_whisper_steps(cfg, "pallas", monkeypatch, beam=beam, ancestry=anc)
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_whisper_step_chunked_kernel_matches_xla(monkeypatch):
+    """The PE 3-cache shape that overflows the single-block VMEM budget
+    must dispatch through the time-chunked kernel, not fall back."""
+    from agacs_tpu.ops import decode_attn as da
+
+    cfg = _whisper_cfg(pe_attention=True)
+    beam, max_len, d = 3, 32, 64
+    # single block (3 caches x beam x 32 x 64) overflows; tc=16 fits
+    budget = 2 * 3 * beam * 16 * d * 2
+    monkeypatch.setattr(da, "_VMEM_BUDGET", budget)
+    assert not da.kernel_fits(3, beam, max_len, d)
+    assert da.pick_chunk(3, beam, max_len, d) == 16
+    a = _run_whisper_steps(
+        cfg, "xla", monkeypatch, beam=beam, ancestry=True, max_len=max_len
+    )
+    b = _run_whisper_steps(
+        cfg, "pallas", monkeypatch, beam=beam, ancestry=True, max_len=max_len
+    )
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
 
 
