@@ -203,3 +203,33 @@ def test_greedy_scan_loop_matches_while(setup):
                              loop="scan")
     np.testing.assert_array_equal(np.asarray(l_w), np.asarray(l_s))
     np.testing.assert_array_equal(np.asarray(t_w), np.asarray(t_s))
+
+
+def test_decode_dp_sharded_matches_single():
+    """Serving scales over the device mesh: greedy and beam decode with
+    the batch dp-sharded across 8 devices must produce exactly the
+    single-device tokens (GSPMD propagates the data sharding through the
+    KV caches and the per-step top-k; reference scope: inference is
+    single-GPU only — asr_inference.py — so this is TPU-native surplus)."""
+    from agacs_tpu.parallel import make_mesh, shard_batch, shard_params
+
+    params = init_whisper_params(jax.random.PRNGKey(0), TINY)
+    enc = jax.random.normal(jax.random.PRNGKey(7), (8, 32, 64), jnp.float32)
+
+    tg, lg = greedy_decode(params, TINY, enc, primer=PRIMER, max_steps=8)
+    tb, lb, sb = beam_decode(
+        params, TINY, enc, beam_size=3, primer=PRIMER, max_steps=8
+    )
+
+    mesh = make_mesh(n_data=8)
+    params_s = shard_params(mesh, params)
+    enc_s = shard_batch(mesh, enc)
+    tg2, lg2 = greedy_decode(params_s, TINY, enc_s, primer=PRIMER, max_steps=8)
+    tb2, lb2, sb2 = beam_decode(
+        params_s, TINY, enc_s, beam_size=3, primer=PRIMER, max_steps=8
+    )
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(tg2))
+    np.testing.assert_array_equal(np.asarray(lg), np.asarray(lg2))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb2))
+    np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb2))
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sb2), atol=1e-5)
