@@ -227,10 +227,17 @@ def _maybe_remat(fn, remat):
     if remat == "dots_nb":
         # save weight-matmul outputs (contractions with no batch dims),
         # recompute the O(T²) attention internals — less backward
-        # recompute than "full" at far less memory than "dots"
+        # recompute than "full" at far less memory than "dots". The
+        # packed flash kernel's output is additionally named saveable:
+        # without it the whole fwd kernel re-runs in backward just to
+        # regenerate the (B, T, D) residual `o` (ops/flash_train.py).
         return jax.checkpoint(
             fn,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names(
+                    "flash_attn_out"),
+            ),
         )
     return jax.checkpoint(fn)
 
@@ -302,12 +309,38 @@ def mha(
 
     d_head = q.shape[-1] // n_head
     scale = d_head ** -0.25
-    qh = _split_heads(q, n_head) * scale
-    kh = _split_heads(k, n_head) * scale
-    vh = _split_heads(v, n_head)
 
     if not pe and not full_scores:
-        from agacs_tpu.ops.attention import fused_mha, streaming_lse
+        from agacs_tpu.ops.attention import (
+            fused_mha,
+            packed_mha_eligible,
+            streaming_lse,
+        )
+
+        # Packed whole-KV Pallas kernel: consumes q/k/v in their natural
+        # (B, T, D) layout — no head-split/merge transposes, no HBM score
+        # tensors in fwd OR bwd (ops/flash_train.py). The training hot
+        # path (encoder self-attention, T=250-1000).
+        if packed_mha_eligible(q, k, n_head, causal, backend):
+            from agacs_tpu.ops.flash_train import packed_flash_mha
+
+            out = linear(packed_flash_mha(q, k, v, n_head), p["out"])
+            aux = {}
+            if lang_cols is not None:
+                lo, hi = lang_cols
+                qh = _split_heads(q, n_head) * scale
+                kh = _split_heads(k, n_head) * scale
+                aux["qk_cols"] = jnp.einsum(
+                    "bhqd,bhkd->bhqk", qh, kh[:, :, lo:hi]
+                ).astype(jnp.float32)
+                if need_probs:
+                    lse = streaming_lse(qh, kh, causal=False)
+                    aux["p_cols"] = jnp.exp(aux["qk_cols"] - lse[..., None])
+            return out, aux
+
+        qh = _split_heads(q, n_head) * scale
+        kh = _split_heads(k, n_head) * scale
+        vh = _split_heads(v, n_head)
 
         out = fused_mha(qh, kh, vh, causal=causal, sm_scale=1.0, backend=backend)
         out = linear(_merge_heads(out), p["out"])
@@ -329,6 +362,10 @@ def mha(
                 lse = streaming_lse(qh, kh, causal=causal)
                 aux["p_cols"] = jnp.exp(qk_cols - lse[..., None])
         return out, aux
+
+    qh = _split_heads(q, n_head) * scale
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
 
     qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
     if pe:

@@ -158,6 +158,23 @@ def einsum_mha(
     return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
 
 
+def packed_mha_eligible(
+    q: jax.Array, k: jax.Array, n_head: int, causal: bool, backend: str
+) -> bool:
+    """True when the packed whole-KV-in-VMEM training kernel
+    (ops/flash_train.packed_flash_mha) should take this attention: the
+    (B, T, D)-layout Pallas kernel with a custom VJP that keeps the
+    (T, T) scores on-chip in fwd AND bwd. Eligibility: TPU, non-causal
+    self-attention, bf16, d_head=64, flash_train.MIN_T <= T <= MAX_T."""
+    if backend not in ("auto", "vmem") or causal:
+        return False
+    if not _flash_available():
+        return False
+    from agacs_tpu.ops.flash_train import supports
+
+    return supports(q.shape[1], k.shape[1], q.shape[-1], n_head, q.dtype)
+
+
 def fused_mha(
     q: jax.Array,
     k: jax.Array,
@@ -166,7 +183,13 @@ def fused_mha(
     sm_scale: float = 1.0,
     backend: str = "auto",
 ) -> jax.Array:
-    """backend: 'auto' (flash on TPU when shapes allow), 'flash', 'einsum'."""
+    """backend: 'auto' (flash on TPU when shapes allow), 'flash', 'einsum'.
+
+    NOTE: the packed whole-KV Pallas kernel (ops/flash_train.py) is
+    dispatched UPSTREAM of this head-split API (models/whisper.mha via
+    `packed_mha_eligible`) because its entire advantage is consuming the
+    (B, T, D) layout before the head-split transposes.
+    """
     if backend == "einsum":
         return einsum_mha(q, k, v, causal, sm_scale)
     if backend == "flash":

@@ -1,0 +1,220 @@
+"""Whole-KV-in-VMEM flash attention for TRAINING shapes (fwd + custom VJP).
+
+The encoder self-attention at whisper's shapes (T = 250-1500, d_head = 64)
+is the framework's hottest op. The XLA einsum path materializes the
+(B, h, T, T) f32 score tensor in HBM three times per layer per step
+(forward, remat recompute, backward) — at the flagship 8x15 s shape that
+is ~12.4 ms of the 58 ms step (xplane, docs/PERF.md round-3). JAX's
+bundled Pallas flash kernel loses at these mid-range T (92 vs 61 ms/step
+at 8x15 s): its q/k block pipeline is built for long contexts and pays
+grid overheads the shape can't amortize.
+
+This kernel exploits the actual size regime instead: at T <= ~1024 a
+head-group's ENTIRE k/v fits in VMEM, so each grid step computes a few
+heads' full attention with the (T, T) score block living only in VMEM:
+
+  forward : s = s2·(q_h k_h^T) -> f32 softmax (deferred normalization:
+            o_h = (exp(s-m) v_h) / l, so no (T, T) division pass)
+  backward: recompute p from (q, k); dv_h = p^T (do_h/l);
+            dp = do_h v_h^T;  D_h = rowsum(do_h * o_h) (in-kernel);
+            ds = p/l (dp - D);  dq_h = s2·(ds k_h);  dk_h = s2·(ds^T q_h)
+
+Layout is the key trick: the kernel consumes q/k/v in their NATURAL
+packed (B, T, n_head·d) layout — the direct output of the qkv
+projections — and splits heads by static lane slices in VMEM. The
+(B, h, T, d) head-split transposes, the T-padding, and the merge-heads
+transpose that a per-(b,h) kernel forces on XLA all disappear (measured:
+those copies+pads ate the entire HBM win of the per-head variant).
+Residuals are (q, k, v, o), all in natural layout; no (T, T) tensor and
+no lse ever touch HBM.
+
+Numerics mirror the einsum path (ops/attention.einsum_mha == reference
+whisper/model.py:97-109 qkv_attention): f32 scores and softmax, bf16
+value dot with f32 accumulation. The d^-0.5 total scale is applied to q
+inside the kernel (exact in bf16 for d_head = 64: x0.125 is an exponent
+shift) instead of d^-0.25 to q and k separately.
+
+Dispatch (ops/attention auto path via models/whisper.qkv_attention):
+non-causal self-attention, d_head = 64, T <= MAX_T, bf16, on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Above this T the f32 (T, T) score blocks exhaust VMEM (bwd holds two
+# plus a bf16 one: ~10 T^2 bytes = 10.5 MB at T=1024).
+MAX_T = 1024
+
+# Below this T the XLA einsum path wins in steady state (measured on
+# v5e, whisper-small dots_nb step: T=250 packed 77 vs einsum 74 ms;
+# T=500 packed 70 vs einsum 77 ms; T=750 packed 54.5 vs einsum 61 ms).
+MIN_T = 384
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def supports(t_q: int, t_k: int, d_model: int, n_head: int, dtype) -> bool:
+    """Shape eligibility for the packed kernel."""
+    if t_q != t_k or not (MIN_T <= t_q <= MAX_T):
+        return False
+    if d_model % n_head or d_model % 128:
+        return False
+    if d_model // n_head != 64:
+        return False
+    return dtype == jnp.bfloat16
+
+
+def _pick_groups(t: int, d_model: int, n_head: int, n_arrays: int,
+                 n_f32_tmp: int) -> int:
+    """Smallest head-group count whose VMEM footprint fits the budget:
+    n_arrays double-buffered (T, D/G) bf16 blocks + n_f32_tmp (T, T) f32
+    temporaries. Fewer groups = bigger blocks = better pipelining."""
+    tmp = n_f32_tmp * t * t * 4 + t * t * 2  # f32 temps + one bf16 cast
+    valid = [g for g in (1, 2, 3, 4, 6, 12)
+             if n_head % g == 0 and (d_model // g) % 128 == 0]
+    for g in valid:
+        blocks = n_arrays * 2 * t * (d_model // g) * 2
+        if blocks + tmp <= _VMEM_BUDGET:
+            return g
+    return valid[-1]
+
+
+def _col_spec(t: int, c: int) -> pl.BlockSpec:
+    # (T, C) trailing block of a (B, T, D) array: T == full dim, C is a
+    # 128-multiple lane slice.
+    return pl.BlockSpec((1, t, c), lambda b, g: (b, 0, g),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_kernel(n_head_blk: int, dh: int, q_ref, k_ref, v_ref, o_ref):
+    s2 = dh ** -0.5
+    for h in range(n_head_blk):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q_ref[0, :, sl]
+        qh = qh * jnp.asarray(s2, qh.dtype)
+        kh = k_ref[0, :, sl]
+        vh = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, T) f32
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def _bwd_kernel(n_head_blk: int, dh: int, q_ref, k_ref, v_ref, o_ref,
+                do_ref, dq_ref, dk_ref, dv_ref):
+    s2 = dh ** -0.5
+    for h in range(n_head_blk):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q_ref[0, :, sl]
+        qh = qh * jnp.asarray(s2, qh.dtype)
+        kh = k_ref[0, :, sl]
+        vh = v_ref[0, :, sl]
+        oh = o_ref[0, :, sl]
+        doh = do_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)          # un-normalized weights
+        linv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        # D = rowsum(do * o) per query row — normalized-weight identity
+        dd = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32),
+                     axis=1, keepdims=True)
+        # dv = (p/l)^T do  ==  p^T (do * linv): scale the small (T, d)
+        # operand instead of the (T, T) one
+        don = (doh.astype(jnp.float32) * linv).astype(doh.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(doh.dtype), don, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - dd) * linv).astype(qh.dtype)
+        dq = jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = (dq * s2).astype(dq_ref.dtype)
+        dk = jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # qh already carries s2, so dk = ds^T qh is exactly s2·(ds^T q)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def packed_flash_mha(q, k, v, n_head, interpret=False):
+    """(B, T, D) packed q/k/v -> (B, T, D); non-causal self-attention.
+
+    Equivalent to splitting D into n_head heads of 64, running
+    einsum_mha with the d^-0.25 pre-scales, and merging heads back —
+    with no transposes and no HBM score tensors in fwd or bwd.
+    """
+    return _fwd(q, k, v, n_head, interpret)
+
+
+def _fwd(q, k, v, n_head, interpret):
+    b, t, d_model = q.shape
+    dh = d_model // n_head
+    g = int(os.environ.get("AGACS_FLASH_G_FWD", 0)) or _pick_groups(
+        t, d_model, n_head, 4, 2)
+    hpb = n_head // g
+    kern = functools.partial(_fwd_kernel, hpb, dh)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, g),
+        in_specs=[_col_spec(t, d_model // g)] * 3,
+        out_specs=_col_spec(t, d_model // g),
+        out_shape=jax.ShapeDtypeStruct((b, t, d_model), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    # Named saveable so the dots_nb remat policy keeps `o` (the custom-VJP
+    # residual) instead of re-running this kernel in backward.
+    return checkpoint_name(out, "flash_attn_out")
+
+
+def _vjp_fwd(q, k, v, n_head, interpret):
+    o = _fwd(q, k, v, n_head, interpret)
+    return o, (q, k, v, o)
+
+
+def _vjp_bwd(n_head, interpret, res, do):
+    q, k, v, o = res
+    b, t, d_model = q.shape
+    dh = d_model // n_head
+    g = int(os.environ.get("AGACS_FLASH_G_BWD", 0)) or _pick_groups(
+        t, d_model, n_head, 8, 3)
+    hpb = n_head // g
+    kern = functools.partial(_bwd_kernel, hpb, dh)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(b, g),
+        in_specs=[_col_spec(t, d_model // g)] * 5,
+        out_specs=[_col_spec(t, d_model // g)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, t, d_model), q.dtype)] * 3,
+        interpret=interpret,
+    )(q, k, v, o, do)
+    return dq, dk, dv
+
+
+packed_flash_mha.defvjp(_vjp_fwd, _vjp_bwd)

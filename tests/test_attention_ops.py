@@ -102,3 +102,80 @@ def test_mha_need_probs_no_full_map_parity():
     np.testing.assert_allclose(np.asarray(aux["p_cols"]),
                                np.asarray(aux2["p_cols"]),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# packed whole-KV-in-VMEM training kernel (ops/flash_train.py)
+# ---------------------------------------------------------------------------
+
+
+def _packed_ref(q, k, v, n_head):
+    """Head-split einsum reference for the packed (B, T, D) layout —
+    exactly what models/whisper.mha does on the fallback path."""
+    b, t, d = q.shape
+    dh = d // n_head
+    sc = dh ** -0.25
+    qh = q.reshape(b, t, n_head, dh).transpose(0, 2, 1, 3) * sc
+    kh = k.reshape(b, t, n_head, dh).transpose(0, 2, 1, 3) * sc
+    vh = v.reshape(b, t, n_head, dh).transpose(0, 2, 1, 3)
+    o = einsum_mha(qh, kh, vh, causal=False, sm_scale=1.0)
+    return o.transpose(0, 2, 1, 3).reshape(b, t, d)
+
+
+@pytest.mark.parametrize("b,t,d,h", [(2, 200, 384, 6), (1, 256, 768, 12)])
+def test_packed_flash_fwd_parity(b, t, d, h):
+    from agacs_tpu.ops.flash_train import packed_flash_mha
+
+    q = _rand((b, t, d), 0).astype(jnp.bfloat16) * 0.3
+    k = _rand((b, t, d), 1).astype(jnp.bfloat16) * 0.3
+    v = _rand((b, t, d), 2).astype(jnp.bfloat16) * 0.3
+    ref = _packed_ref(q, k, v, h).astype(jnp.float32)
+    out = packed_flash_mha(q, k, v, h, True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_packed_flash_grad_parity():
+    from agacs_tpu.ops.flash_train import packed_flash_mha
+
+    b, t, d, h = 1, 200, 384, 6
+    q = _rand((b, t, d), 0).astype(jnp.bfloat16) * 0.3
+    k = _rand((b, t, d), 1).astype(jnp.bfloat16) * 0.3
+    v = _rand((b, t, d), 2).astype(jnp.bfloat16) * 0.3
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_packed_ref(q, k, v, h).astype(jnp.float32) * 3))
+
+    def loss_ker(q, k, v):
+        return jnp.sum(
+            jnp.sin(packed_flash_mha(q, k, v, h, True).astype(jnp.float32) * 3)
+        )
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gk = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b2 in zip("qkv", gr, gk):
+        a = np.asarray(a, np.float32)
+        b2 = np.asarray(b2, np.float32)
+        scale = np.abs(a).max() + 1e-9
+        assert np.abs(a - b2).max() / scale < 5e-2, name
+
+
+def test_packed_eligibility_gates():
+    from agacs_tpu.ops.flash_train import supports
+
+    assert supports(750, 750, 768, 12, jnp.bfloat16)
+    assert supports(500, 500, 768, 12, jnp.bfloat16)
+    assert not supports(750, 750, 768, 12, jnp.float32)   # dtype
+    assert not supports(1500, 1500, 768, 12, jnp.bfloat16)  # > MAX_T
+    assert not supports(750, 376, 768, 12, jnp.bfloat16)  # cross-attention
+    assert not supports(250, 250, 768, 12, jnp.bfloat16)  # einsum wins < MIN_T
+    assert not supports(750, 750, 768, 6, jnp.bfloat16)   # d_head != 64
+
+
+def test_pick_groups_valid():
+    from agacs_tpu.ops.flash_train import _pick_groups
+
+    for t in (200, 256, 750, 1000):
+        for d, h in ((768, 12), (512, 8), (384, 6)):
+            for (na, nt) in ((4, 2), (8, 3)):
+                g = _pick_groups(t, d, h, na, nt)
+                assert h % g == 0 and (d // g) % 128 == 0, (t, d, h, g)
