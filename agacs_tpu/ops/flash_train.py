@@ -61,13 +61,24 @@ MIN_T = 384
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
+# Past MAX_T the q-CHUNKED variant takes over: grid adds a q-block axis
+# with K/V still whole-group-resident in VMEM, dk/dv accumulated in f32
+# scratch across q chunks. Covers whisper's full 30 s context (T=1500).
+MAX_T_CHUNKED = 1536
+
+
 def supports(t_q: int, t_k: int, d_model: int, n_head: int, dtype) -> bool:
     """Shape eligibility for the packed kernel."""
-    if t_q != t_k or not (MIN_T <= t_q <= MAX_T):
+    if t_q != t_k or not (MIN_T <= t_q <= MAX_T_CHUNKED):
         return False
     if d_model % n_head or d_model % 128:
         return False
     if d_model // n_head != 64:
+        return False
+    if t_q > MAX_T and (
+        _pick_chunked(t_q, d_model, n_head, bwd=False) is None
+        or _pick_chunked(t_q, d_model, n_head, bwd=True) is None
+    ):
         return False
     return dtype == jnp.bfloat16
 
@@ -87,10 +98,55 @@ def _pick_groups(t: int, d_model: int, n_head: int, n_arrays: int,
     return valid[-1]
 
 
+def _pick_chunked(t: int, d_model: int, n_head: int, bwd: bool):
+    """(head-groups, q-chunk-rows) for the q-chunked kernels, or None.
+
+    TQ must be a multiple of the 8-row sublane tile (Mosaic requires it
+    for non-whole-dim blocks); the q axis is zero-padded to nq·TQ by the
+    wrapper. Footprint: double-buffered blocks (TQ-sized q/o/do/dq +
+    full-T k/v/dk/dv) + (TQ, T) f32/bf16 temporaries + (bwd) two (T, C)
+    f32 accumulator scratches."""
+    valid = [g for g in (1, 2, 3, 4, 6, 12)
+             if n_head % g == 0 and (d_model // g) % 128 == 0]
+    for g in valid:
+        c = d_model // g
+        for tq in (512, 384, 256, 128, 64):
+            if tq >= t:
+                continue
+            if bwd:
+                blocks = 2 * (4 * tq * c * 2 + 4 * t * c * 2)
+                tmp = 3 * tq * t * 4 + tq * t * 2
+                scratch = 2 * t * c * 4
+            else:
+                blocks = 2 * (2 * tq * c * 2 + 2 * t * c * 2)
+                tmp = 2 * tq * t * 4 + tq * t * 2
+                scratch = 0
+            if blocks + tmp + scratch <= _VMEM_BUDGET:
+                return g, tq
+    return None
+
+
+def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
+    return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0)))
+
+
 def _col_spec(t: int, c: int) -> pl.BlockSpec:
     # (T, C) trailing block of a (B, T, D) array: T == full dim, C is a
     # 128-multiple lane slice.
     return pl.BlockSpec((1, t, c), lambda b, g: (b, 0, g),
+                        memory_space=pltpu.VMEM)
+
+
+def _qc_full_spec(t: int, c: int) -> pl.BlockSpec:
+    # full-T block under the (b, g, qc) grid: constant along qc, so the
+    # block stays VMEM-resident while the q chunks sweep
+    return pl.BlockSpec((1, t, c), lambda b, g, qc: (b, 0, g),
+                        memory_space=pltpu.VMEM)
+
+
+def _qc_chunk_spec(tq: int, c: int) -> pl.BlockSpec:
+    # (TQ, C) q-chunk block of a (B, T, D) array
+    return pl.BlockSpec((1, tq, c), lambda b, g, qc: (b, qc, g),
                         memory_space=pltpu.VMEM)
 
 
@@ -162,6 +218,63 @@ def _bwd_kernel(n_head_blk: int, dh: int, q_ref, k_ref, v_ref, o_ref,
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
 
 
+def _bwd_kernel_qc(n_head_blk: int, dh: int, nq: int, q_ref, k_ref, v_ref,
+                   o_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc):
+    """q-chunked backward: same math as _bwd_kernel per (TQ, T) chunk;
+    dk/dv accumulate in f32 scratch across the qc sweep (the k/v blocks
+    are constant along qc, so they stay VMEM-resident) and are written
+    once on the last chunk."""
+    qc = pl.program_id(2)
+
+    @pl.when(qc == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    s2 = dh ** -0.5
+    for h in range(n_head_blk):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q_ref[0, :, sl]
+        qh = qh * jnp.asarray(s2, qh.dtype)      # (TQ, dh)
+        kh = k_ref[0, :, sl]                     # (T, dh)
+        vh = v_ref[0, :, sl]
+        oh = o_ref[0, :, sl]
+        doh = do_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # (TQ, T)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        linv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        dd = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32),
+                     axis=1, keepdims=True)
+        don = (doh.astype(jnp.float32) * linv).astype(doh.dtype)
+        dv_acc[:, sl] += jax.lax.dot_general(
+            p.astype(doh.dtype), don, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - dd) * linv).astype(qh.dtype)
+        dq = jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = (dq * s2).astype(dq_ref.dtype)
+        dk_acc[:, sl] += jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qc == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def packed_flash_mha(q, k, v, n_head, interpret=False):
     """(B, T, D) packed q/k/v -> (B, T, D); non-causal self-attention.
@@ -176,6 +289,25 @@ def packed_flash_mha(q, k, v, n_head, interpret=False):
 def _fwd(q, k, v, n_head, interpret):
     b, t, d_model = q.shape
     dh = d_model // n_head
+    if t > MAX_T:
+        # q-chunked: (b, g, qc) grid, K/V whole-group-resident along qc.
+        # Only the q/o axis is padded (to nq·TQ); K/V stay full-T, so
+        # softmax sees only real keys. The fwd math is chunk-shape-
+        # agnostic — same kernel body.
+        g, tq = _pick_chunked(t, d_model, n_head, bwd=False)
+        nq = -(-t // tq)
+        c = d_model // g
+        kern = functools.partial(_fwd_kernel, n_head // g, dh)
+        out = pl.pallas_call(
+            kern,
+            grid=(b, g, nq),
+            in_specs=[_qc_chunk_spec(tq, c),
+                      _qc_full_spec(t, c), _qc_full_spec(t, c)],
+            out_specs=_qc_chunk_spec(tq, c),
+            out_shape=jax.ShapeDtypeStruct((b, nq * tq, d_model), q.dtype),
+            interpret=interpret,
+        )(_pad_rows(q, nq * tq), k, v)
+        return checkpoint_name(out[:, :t], "flash_attn_out")
     g = int(os.environ.get("AGACS_FLASH_G_FWD", 0)) or _pick_groups(
         t, d_model, n_head, 4, 2)
     hpb = n_head // g
@@ -202,6 +334,29 @@ def _vjp_bwd(n_head, interpret, res, do):
     q, k, v, o = res
     b, t, d_model = q.shape
     dh = d_model // n_head
+    if t > MAX_T:
+        # zero do pad rows => ds rows are zero => no dk/dv contribution
+        # from the q padding; dq pad rows are sliced off
+        g, tq = _pick_chunked(t, d_model, n_head, bwd=True)
+        nq = -(-t // tq)
+        tp = nq * tq
+        c = d_model // g
+        kern = functools.partial(_bwd_kernel_qc, n_head // g, dh, nq)
+        dq, dk, dv = pl.pallas_call(
+            kern,
+            grid=(b, g, nq),
+            in_specs=[_qc_chunk_spec(tq, c),
+                      _qc_full_spec(t, c), _qc_full_spec(t, c),
+                      _qc_chunk_spec(tq, c), _qc_chunk_spec(tq, c)],
+            out_specs=[_qc_chunk_spec(tq, c),
+                       _qc_full_spec(t, c), _qc_full_spec(t, c)],
+            out_shape=[jax.ShapeDtypeStruct((b, tp, d_model), q.dtype),
+                       jax.ShapeDtypeStruct((b, t, d_model), q.dtype),
+                       jax.ShapeDtypeStruct((b, t, d_model), q.dtype)],
+            scratch_shapes=[pltpu.VMEM((t, c), jnp.float32)] * 2,
+            interpret=interpret,
+        )(_pad_rows(q, tp), k, v, _pad_rows(o, tp), _pad_rows(do, tp))
+        return dq[:, :t], dk, dv
     g = int(os.environ.get("AGACS_FLASH_G_BWD", 0)) or _pick_groups(
         t, d_model, n_head, 8, 3)
     hpb = n_head // g

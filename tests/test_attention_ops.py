@@ -165,7 +165,8 @@ def test_packed_eligibility_gates():
     assert supports(750, 750, 768, 12, jnp.bfloat16)
     assert supports(500, 500, 768, 12, jnp.bfloat16)
     assert not supports(750, 750, 768, 12, jnp.float32)   # dtype
-    assert not supports(1500, 1500, 768, 12, jnp.bfloat16)  # > MAX_T
+    assert supports(1500, 1500, 768, 12, jnp.bfloat16)    # q-chunked
+    assert not supports(1550, 1550, 768, 12, jnp.bfloat16)  # > MAX_T_CHUNKED
     assert not supports(750, 376, 768, 12, jnp.bfloat16)  # cross-attention
     assert not supports(250, 250, 768, 12, jnp.bfloat16)  # einsum wins < MIN_T
     assert not supports(750, 750, 768, 6, jnp.bfloat16)   # d_head != 64
@@ -179,3 +180,56 @@ def test_pick_groups_valid():
             for (na, nt) in ((4, 2), (8, 3)):
                 g = _pick_groups(t, d, h, na, nt)
                 assert h % g == 0 and (d // g) % 128 == 0, (t, d, h, g)
+
+
+@pytest.mark.parametrize("b,t,d,h", [(1, 1500, 384, 6)])
+def test_packed_flash_chunked_fwd_parity(b, t, d, h):
+    """T > MAX_T takes the q-chunked grid (whisper 30 s context)."""
+    from agacs_tpu.ops import flash_train
+    from agacs_tpu.ops.flash_train import packed_flash_mha
+
+    assert t > flash_train.MAX_T
+    q = _rand((b, t, d), 0).astype(jnp.bfloat16) * 0.3
+    k = _rand((b, t, d), 1).astype(jnp.bfloat16) * 0.3
+    v = _rand((b, t, d), 2).astype(jnp.bfloat16) * 0.3
+    ref = _packed_ref(q, k, v, h).astype(jnp.float32)
+    out = packed_flash_mha(q, k, v, h, True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_packed_flash_chunked_grad_parity():
+    from agacs_tpu.ops.flash_train import packed_flash_mha
+
+    b, t, d, h = 1, 1200, 384, 6
+    q = _rand((b, t, d), 0).astype(jnp.bfloat16) * 0.3
+    k = _rand((b, t, d), 1).astype(jnp.bfloat16) * 0.3
+    v = _rand((b, t, d), 2).astype(jnp.bfloat16) * 0.3
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_packed_ref(q, k, v, h).astype(jnp.float32) * 3))
+
+    def loss_ker(q, k, v):
+        return jnp.sum(
+            jnp.sin(packed_flash_mha(q, k, v, h, True).astype(jnp.float32) * 3)
+        )
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gk = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b2 in zip("qkv", gr, gk):
+        a = np.asarray(a, np.float32)
+        b2 = np.asarray(b2, np.float32)
+        scale = np.abs(a).max() + 1e-9
+        assert np.abs(a - b2).max() / scale < 5e-2, name
+
+
+def test_pick_chunked_valid():
+    from agacs_tpu.ops.flash_train import _pick_chunked, supports
+
+    for t in (1050, 1100, 1150, 1200, 1250, 1300, 1350, 1400, 1450, 1500):
+        for d, hh in ((768, 12), (384, 6)):
+            for bwd in (False, True):
+                got = _pick_chunked(t, d, hh, bwd)
+                assert got is not None, (t, d, hh, bwd)
+                g, tq = got
+                assert hh % g == 0 and (d // g) % 128 == 0 and tq % 8 == 0
+            assert supports(t, t, d, hh, jnp.bfloat16)
