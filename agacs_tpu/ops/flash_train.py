@@ -47,7 +47,9 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 # Above this T the f32 (T, T) score blocks exhaust VMEM (bwd holds two
 # plus a bf16 one: ~10 T^2 bytes = 10.5 MB at T=1024).
@@ -287,6 +289,16 @@ def packed_flash_mha(q, k, v, n_head, interpret=False):
 
 
 def _fwd(q, k, v, n_head, interpret):
+    """SPMD-aware wrapper: the pallas dispatch runs per-shard under a
+    custom_partitioning rule that shards the batch dim and keeps T/D
+    replicated (docs/PERF.md round-3 SPMD section). Named saveable so
+    the dots_nb remat policy keeps `o` (the custom-VJP residual) instead
+    of re-running the kernel in backward."""
+    out = _fwd_cp(n_head, interpret)(q, k, v)
+    return checkpoint_name(out, "flash_attn_out")
+
+
+def _fwd_pallas(q, k, v, n_head, interpret):
     b, t, d_model = q.shape
     dh = d_model // n_head
     if t > MAX_T:
@@ -307,7 +319,7 @@ def _fwd(q, k, v, n_head, interpret):
             out_shape=jax.ShapeDtypeStruct((b, nq * tq, d_model), q.dtype),
             interpret=interpret,
         )(_pad_rows(q, nq * tq), k, v)
-        return checkpoint_name(out[:, :t], "flash_attn_out")
+        return out[:, :t]
     g = int(os.environ.get("AGACS_FLASH_G_FWD", 0)) or _pick_groups(
         t, d_model, n_head, 4, 2)
     hpb = n_head // g
@@ -320,9 +332,7 @@ def _fwd(q, k, v, n_head, interpret):
         out_shape=jax.ShapeDtypeStruct((b, t, d_model), q.dtype),
         interpret=interpret,
     )(q, k, v)
-    # Named saveable so the dots_nb remat policy keeps `o` (the custom-VJP
-    # residual) instead of re-running this kernel in backward.
-    return checkpoint_name(out, "flash_attn_out")
+    return out
 
 
 def _vjp_fwd(q, k, v, n_head, interpret):
@@ -332,6 +342,10 @@ def _vjp_fwd(q, k, v, n_head, interpret):
 
 def _vjp_bwd(n_head, interpret, res, do):
     q, k, v, o = res
+    return _bwd_cp(n_head, interpret)(q, k, v, o, do)
+
+
+def _bwd_pallas(q, k, v, o, do, n_head, interpret):
     b, t, d_model = q.shape
     dh = d_model // n_head
     if t > MAX_T:
@@ -370,6 +384,102 @@ def _vjp_bwd(n_head, interpret, res, do):
         interpret=interpret,
     )(q, k, v, o, do)
     return dq, dk, dv
+
+
+def _batch_only(sharding, mesh):
+    """Restrict a suggested sharding to the batch dim: the kernel needs
+    whole-T keys and all of a head's lanes on one device, so T/D shard
+    suggestions are dropped (GSPMD inserts the reshards)."""
+    if not isinstance(sharding, NamedSharding):
+        return NamedSharding(mesh, PartitionSpec(None, None, None))
+    spec = tuple(sharding.spec) + (None,) * (3 - len(sharding.spec))
+    return NamedSharding(sharding.mesh, PartitionSpec(spec[0], None, None))
+
+
+def _einsum_ref(q, k, v, n_head):
+    """Head-split XLA fallback with identical math, used per-shard if a
+    local shape ever escapes the kernel's support envelope."""
+    b, t, d = q.shape
+    dh = d // n_head
+    sc = dh ** -0.25
+
+    def heads(y):
+        return y.reshape(b, t, n_head, dh).transpose(0, 2, 1, 3)
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", heads(q) * sc,
+                   heads(k) * sc).astype(jnp.float32)
+    w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, heads(v))
+    return o.transpose(0, 2, 1, 3).reshape(b, t, d)
+
+
+def _make_cp(impl, n_in, n_out, rule, n_head, interpret):
+    """custom_partitioning wrapper: batch-dim sharding, T/D replicated.
+
+    Without this, GSPMD treats the Mosaic custom call as opaque and
+    fully REPLICATES its operands on a multi-chip mesh — every chip
+    would all-gather the whole global batch's q/k/v per layer. The
+    shardy `rule` (and the GSPMD-path callbacks) declare the kernel
+    batch-parallel instead, so dp training shards it like any other op.
+    """
+    f = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        out = tuple(_batch_only(a.sharding, mesh) for a in arg_shapes[:n_out])
+        return out if n_out > 1 else out[0]
+
+    def prop(mesh, user_shape):
+        shs = jax.tree.leaves(user_shape)
+        out = tuple(_batch_only(s.sharding, mesh) for s in shs[:n_out])
+        return out if n_out > 1 else out[0]
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh = tuple(_batch_only(a.sharding, mesh) for a in arg_shapes)
+        res = jax.tree.leaves(result_shape)
+        out_sh = tuple(_batch_only(r.sharding, mesh) for r in res[:n_out])
+
+        def lower(*args):
+            t, d = args[0].shape[1], args[0].shape[2]
+            if supports(t, t, d, n_head, args[0].dtype):
+                return impl(*args)
+            if n_out == 1:
+                return _einsum_ref(*args, n_head)
+            # bwd fallback: differentiate the reference impl
+            q, k, v, o, do = args
+            _, vjp = jax.vjp(lambda q, k, v: _einsum_ref(q, k, v, n_head),
+                             q, k, v)
+            return vjp(do)
+
+        return mesh, lower, (out_sh if n_out > 1 else out_sh[0]), arg_sh
+
+    f.def_partition(
+        partition=partition,
+        propagate_user_sharding=prop,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=("t", "d"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp(n_head, interpret):
+    def impl(q, k, v):
+        return _fwd_pallas(q, k, v, n_head, interpret)
+
+    return _make_cp(impl, 3, 1, "b t d, b t d, b t d -> b t d",
+                    n_head, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(n_head, interpret):
+    def impl(q, k, v, o, do):
+        return _bwd_pallas(q, k, v, o, do, n_head, interpret)
+
+    return _make_cp(
+        impl, 5, 3,
+        "b t d, b t d, b t d, b t d, b t d -> b t d, b t d, b t d",
+        n_head, interpret)
 
 
 packed_flash_mha.defvjp(_vjp_fwd, _vjp_bwd)

@@ -233,3 +233,39 @@ def test_pick_chunked_valid():
                 g, tq = got
                 assert hh % g == 0 and (d // g) % 128 == 0 and tq % 8 == 0
             assert supports(t, t, d, hh, jnp.bfloat16)
+
+
+def test_packed_flash_spmd_batch_sharding():
+    """Under a dp mesh the kernel must stay batch-sharded (no GSPMD
+    opaque-custom-call replication): out/grad shardings follow the
+    inputs and the compiled fwd HLO contains no all-gather."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from agacs_tpu.ops.flash_train import packed_flash_mha
+
+    b, t, d, h = 8, 512, 384, 6
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, t, d), jnp.bfloat16) * 0.3
+               for kk in ks)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    sh = NamedSharding(mesh, P("data"))
+    qs, ks_, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    fn = jax.jit(lambda q, k, v: packed_flash_mha(q, k, v, h, True))
+    out = fn(qs, ks_, vs)
+    assert out.sharding.spec == P("data"), out.sharding
+    ref = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-3)
+    assert "all-gather" not in fn.lower(qs, ks_, vs).compile().as_text()
+
+    gfn = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(
+            packed_flash_mha(q, k, v, h, True).astype(jnp.float32) ** 2
+        ), argnums=(0, 1, 2)))
+    g = gfn(qs, ks_, vs)
+    gr = gfn(q, k, v)
+    for a, b2 in zip(g, gr):
+        assert a.sharding.spec == P("data")
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b2, np.float32), atol=1e-2)
