@@ -54,7 +54,9 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 TIME_ALIGN = 16  # bf16 sublane tile; keeps cache blocks tile-aligned
 
@@ -537,6 +539,23 @@ def decode_cache_attention(
         (gate, q, q_cs, k, k_cs, v, anc_local) if pe
         else (q, k, v, anc_local)
     )
+    # SPMD: on a multi-device process the dispatch runs per-shard under
+    # a custom_partitioning rule that shards whole beam groups along the
+    # row dim (see _cp below) — without it GSPMD replicates the Mosaic
+    # custom call's operands, all-gathering every layer's KV cache per
+    # step. Single-device processes keep the direct dispatch: the
+    # custom-call boundary forces default operand layouts and measurably
+    # re-lays out the tuple caches (+11% greedy step time at 8x15 s).
+    if jax.device_count() > 1:
+        return _cp(n // beam, n_head, beam, pe, interpret)(
+            pos.reshape(1), *args)
+    return _dispatch(pos, args, n_head, beam, pe, interpret)
+
+
+def _dispatch(pos, args, n_head, beam, pe, interpret):
+    k = args[3] if pe else args[1]
+    n, tp, d = k.shape
+    n_caches = 3 if pe else 2
     if not kernel_fits(n_caches, beam, tp, d):
         tc = pick_chunk(n_caches, beam, tp, d)
         if tc is not None:
@@ -544,6 +563,118 @@ def decode_cache_attention(
                 pos, args, n_head, beam, pe, tc, interpret=interpret
             )
     return _call(pos, args, n_head, beam, pe, interpret=interpret)
+
+
+def _group_sharding(sharding, mesh, rank, n, beam):
+    """Row-dim-only sharding, dropped to replicated unless every shard
+    holds whole beam groups (rows of a group must be co-resident)."""
+    if not isinstance(sharding, NamedSharding):
+        return NamedSharding(mesh, PartitionSpec(*([None] * rank)))
+    spec = tuple(sharding.spec) + (None,) * (rank - len(sharding.spec))
+    row = spec[0]
+    if row is not None:
+        axes = row if isinstance(row, tuple) else (row,)
+        shards = 1
+        for a in axes:
+            shards *= sharding.mesh.shape[a]
+        if n % (shards * beam):
+            row = None
+    return NamedSharding(sharding.mesh,
+                         PartitionSpec(row, *([None] * (rank - 1))))
+
+
+@functools.lru_cache(maxsize=None)
+def _cp(g_groups, n_head, beam, pe, interpret):
+    """custom_partitioning wrapper for the decode kernels: rows (= beam
+    groups) shard along the data axis, everything else replicated. The
+    shardy rule's compound row factor (g j) with j = beam pinned
+    need-replication guarantees shard boundaries align to groups; the
+    GSPMD-path callbacks enforce the same via _group_sharding."""
+
+    def impl(pos1, *args):
+        return _dispatch(pos1[0], args, n_head, beam, pe, interpret)
+
+    f = custom_partitioning(impl)
+    # arg ranks: pos (1,) [+ gate (H,)], then per-row arrays
+    lead = 2 if pe else 1
+    ranks = ([1, 1] if pe else [1]) + ([2, 2, 3, 3, 3, 2] if pe
+                                       else [2, 3, 3, 2])
+
+    def _shardings(shs, mesh, k_shape):
+        out = []
+        for i, (s, r) in enumerate(zip(shs, ranks)):
+            if i < lead:
+                out.append(NamedSharding(mesh, PartitionSpec(
+                    *([None] * r))))
+            else:
+                out.append(_group_sharding(s, mesh, r, k_shape[0], beam))
+        return tuple(out)
+
+    def infer(mesh, arg_shapes, result_shape):
+        k_shape = arg_shapes[lead + (2 if pe else 1)].shape
+        return _group_sharding(arg_shapes[lead].sharding, mesh, 2,
+                               k_shape[0], beam)
+
+    def prop(mesh, user_shape):
+        return _group_sharding(user_shape.sharding, mesh, 2,
+                               user_shape.shape[0], beam)
+
+    def partition(mesh, arg_shapes, result_shape):
+        k_shape = arg_shapes[lead + (2 if pe else 1)].shape
+        arg_sh = _shardings([a.sharding for a in arg_shapes], mesh, k_shape)
+        out_sh = _group_sharding(result_shape.sharding, mesh, 2,
+                                 k_shape[0], beam)
+
+        def lower(pos1, *args):
+            k_l = args[3] if pe else args[1]
+            if k_l.shape[0] % beam == 0:
+                return impl(pos1, *args)
+            # misaligned local shard (shouldn't happen given the rule):
+            # fall back to the exact jnp oracle
+            if pe:
+                gate, q, q_cs, k, k_cs, v, anc = args
+                return decode_cache_attention_ref(
+                    q, k, v, pos1[0], n_head, anc_local=anc, beam=beam,
+                    q_cs=q_cs, k_cs=k_cs, gate=gate)
+            q, k, v, anc = args
+            return decode_cache_attention_ref(
+                q, k, v, pos1[0], n_head, anc_local=anc, beam=beam)
+
+        return mesh, lower, out_sh, arg_sh
+
+    # row term: whole groups must be co-resident, so only the group
+    # factor g may shard. Shardy rejects size-1 factors inside compound
+    # terms, so beam == 1 uses a plain shardable row factor and a single
+    # group pins the rows replicated.
+    # need_replication factors must be listed in order of first
+    # appearance in the rule (shardy requires sorted factor indices):
+    # p, [h], [j], d, t
+    sizes = {}
+    repl = ["p"] + (["h"] if pe else [])
+    if beam == 1:
+        row = "n"
+    elif g_groups == 1:
+        row = "j"
+        repl.append("j")
+    else:
+        row = "(g j)"
+        sizes = {"g": g_groups, "j": beam}
+        repl.append("j")
+    repl += ["d", "t"]
+    if pe:
+        rule = (f"p, h, {row} d, {row} d, {row} t d, {row} t d, {row} t d,"
+                f" {row} t -> {row} d")
+    else:
+        rule = f"p, {row} d, {row} t d, {row} t d, {row} t -> {row} d"
+    f.def_partition(
+        partition=partition,
+        propagate_user_sharding=prop,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=tuple(repl),
+        **sizes,
+    )
+    return f
 
 
 def decode_cache_attention_ref(
