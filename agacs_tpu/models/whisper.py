@@ -865,13 +865,21 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, audio_feats: jax.Arr
         s_scale = (side.n_dim // side.n_head) ** -0.25
         xa_side = linear(xa, sp["downsample_encoder_input"])
         ks, vs = [], []
+        kp, vp = [], []
         n_side = len(side.layers)
         for i in range(n_side):
             ca = jax.tree.map(lambda a: a[i], sp["blocks"]["cross_attn"])
-            ks.append(_split_heads(linear(xa_side, ca["key"]), s_head) * s_scale)
-            vs.append(_split_heads(linear(xa_side, ca["value"]), s_head))
+            k_lin = linear(xa_side, ca["key"])
+            v_lin = linear(xa_side, ca["value"])
+            ks.append(_split_heads(k_lin, s_head) * s_scale)
+            vs.append(_split_heads(v_lin, s_head))
+            # packed layout for the fused decode kernel (see k_packed)
+            kp.append(jnp.pad(k_lin, ((0, 0), (0, pad), (0, 0))))
+            vp.append(jnp.pad(v_lin, ((0, 0), (0, pad), (0, 0))))
         out["side_k"] = tuple(ks)
         out["side_v"] = tuple(vs)
+        out["side_k_packed"] = tuple(kp)
+        out["side_v_packed"] = tuple(vp)
     return out
 
 
@@ -1239,12 +1247,25 @@ def _side_decode_step(params, cfg, x_embed, trunk_outs, pos, self_kv, cross_kv, 
 
         # cross-attention over the downsampled memory (precomputed K/V)
         y = layer_norm(h, bp["cross_attn_ln"])
-        qc = _split_heads(linear(y, bp["cross_attn"]["query"]), n_head) * scale
-        kc = cross_kv["side_k"][i]  # pre-split, pre-scaled (B, h, T, dh)
-        vc = cross_kv["side_v"][i]
-        qkc = jnp.einsum("bhqd,bhkd->bhqk", qc, kc).astype(jnp.float32)
-        wc = jax.nn.softmax(qkc, -1).astype(vc.dtype)
-        h = h + linear(_merge_heads(jnp.einsum("bhqk,bhkd->bhqd", wc, vc)), bp["cross_attn"]["out"])
+        qc_lin = linear(y, bp["cross_attn"]["query"])
+        if use_kernel and "side_k_packed" in cross_kv:
+            # q-length-1 einsums lower to VPU multiply-reduce fusions;
+            # the fused kernel keeps the read on the MXU (same fix as
+            # the trunk cross-attention — docs/PERF.md round-3)
+            t_audio = cross_kv["side_k"][i].shape[2]
+            oc = decode_attn.decode_cache_attention(
+                qc_lin[:, 0] * (scale * scale),
+                cross_kv["side_k_packed"][i], cross_kv["side_v_packed"][i],
+                jnp.int32(t_audio - 1), n_head,
+            )[:, None, :]
+        else:
+            qc = _split_heads(qc_lin, n_head) * scale
+            kc = cross_kv["side_k"][i]  # pre-split, pre-scaled (B, h, T, dh)
+            vc = cross_kv["side_v"][i]
+            qkc = jnp.einsum("bhqd,bhkd->bhqk", qc, kc).astype(jnp.float32)
+            wc = jax.nn.softmax(qkc, -1).astype(vc.dtype)
+            oc = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", wc, vc))
+        h = h + linear(oc, bp["cross_attn"]["out"])
 
         h = h + mlp_fwd(bp["mlp"], layer_norm(h, bp["mlp_ln"]))
         h_side = h
