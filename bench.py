@@ -67,7 +67,8 @@ def whisper_fwd_flops(b: int, seconds: int, t_text: int = 33,
 # packs, each with its measured-best remat policy (docs/PERF.md round-2
 # table: dots_nb wins at 15 s, full at the largest 5 s pack)
 SHAPES = [(8, 15, "dots_nb"), (16, 15, "dots_nb"),
-          (32, 5, "dots_nb"), (64, 5, "full")]
+          (32, 5, "dots_nb"), (64, 5, "full"),
+          (8, 30, "dots_nb")]  # full 30 s context (q-chunked flash kernel)
 STEPS = 10
 
 
