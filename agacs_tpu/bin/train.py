@@ -208,7 +208,11 @@ def main(argv: list[str] | None = None) -> dict:
     b_grid = 8 * n_data // math.gcd(8, n_data)
 
     # data
-    train_ds = ASRDataset(args.train_dir)
+    from agacs_tpu.data.augment import augment_from_dict
+
+    train_ds = ASRDataset(
+        args.train_dir, augment=augment_from_dict(raw, seed=tcfg.seed)
+    )
     valid_ds = ASRDataset(args.valid_dir)
     from agacs_tpu.data.shapes import collect_num_samples
 
@@ -236,6 +240,42 @@ def main(argv: list[str] | None = None) -> dict:
                 if mx <= s:
                     return s
             return _sbuckets[-1]
+    elif batch_type in ("sorted", "unsorted", "folded", "length"):
+        # reference-parity batch types (build_batch_sampler.py); these
+        # don't respect b_grid, so ragged batches may take the replicated
+        # mesh path — numel/fixed_shapes remain the TPU-native choices
+        from agacs_tpu.data.sampler import (
+            folded_batches,
+            length_batches,
+            sorted_batches,
+            unsorted_batches,
+        )
+
+        _ds_of = {id(train_lens): train_ds, id(valid_lens): valid_ds}
+
+        def sample_epoch(lens, shuffle=False, seed=0):
+            if batch_type == "sorted":
+                batches = sorted_batches(lens, tcfg.batch_size)
+            elif batch_type == "unsorted":
+                batches = unsorted_batches(list(lens), tcfg.batch_size)
+            else:
+                ds = _ds_of[id(lens)]
+                tok_lens = {u: ds.num_tokens(u) for u in lens}
+                if batch_type == "folded":
+                    batches = folded_batches(
+                        [lens, tok_lens], tcfg.batch_size,
+                        list(tcfg.fold_length),
+                    )
+                else:
+                    batches = length_batches([lens, tok_lens], tcfg.batch_bins)
+            if shuffle:
+                np.random.RandomState(seed).shuffle(batches)
+            return batches
+
+        def s_pad_of(mx):
+            from agacs_tpu.data.sampler import bucket_length as _bl
+
+            return _bl(mx, 16000, 30 * 16000)
     else:
 
         def sample_epoch(lens, shuffle=False, seed=0):

@@ -31,6 +31,7 @@ class ASRDataset:
         min_samples: int = 0,
         max_samples: int = 30 * 16000,
         with_cs_labels: bool = True,
+        augment=None,
     ):
         self.wav = read_scp(os.path.join(data_dir, "wav.scp"))
         self.text = read_scp(os.path.join(data_dir, "text"))
@@ -46,6 +47,10 @@ class ASRDataset:
         self.converter = WhisperTokenIdConverter(self.tokenizer)
         self.cleaner = TextCleaner(cleaner) if cleaner else None
         self.with_cs_labels = with_cs_labels
+        # optional on-the-fly RIR/noise augmentation (data/augment.py),
+        # applied per utterance at read time like the reference's
+        # CommonPreprocessor._speech_process (train datasets only)
+        self.augment = augment
         self._rec_cache: tuple[str, np.ndarray, int] | None = None
 
         if self.segments:
@@ -114,6 +119,8 @@ class ASRDataset:
     def __getitem__(self, utt_id: str) -> dict:
         speech, sr = self._read_speech(utt_id)
         assert sr == 16000, f"{utt_id}: expected 16 kHz, got {sr}"
+        if self.augment is not None:
+            speech = self.augment(speech)
         ids = np.asarray(self.tokenize(self.text[utt_id]), np.int32)
         item = {"utt_id": utt_id, "speech": speech, "text": ids}
         if self.with_cs_labels:

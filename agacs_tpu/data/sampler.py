@@ -3,7 +3,11 @@
 Replicates `NumElementsBatchSampler` (`espnet2/samplers/
 num_elements_batch_sampler.py:10-157`, `batch_type: numel`): utterances
 sorted by length descending, packed greedily so the PADDED element count
-(batch_size × max_len_in_batch) stays under `batch_bins`.
+(batch_size × max_len_in_batch) stays under `batch_bins`. The reference's
+other `build_batch_sampler` types (`espnet2/samplers/build_batch_sampler.py`)
+are covered by `sorted_batches` / `unsorted_batches` / `folded_batches` /
+`length_batches` below (oracle-tested against the reference classes), and
+the TPU-native `fixed_shapes` type supersedes them for real runs.
 
 TPU additions: batch-size rounding to a grid (`b_grid`) and padded-shape
 BUCKETING (`bucket_length`) so jit sees a small closed set of (B, S, T)
@@ -100,6 +104,201 @@ def round_batches_to_grid(
         carry = cur[keep:]
     if carry:
         out.append(carry)
+    return out
+
+
+def _even_split(keys: list[str], batch_size: int, drop_last: bool) -> list[list[str]]:
+    n = max(len(keys) // batch_size, 1)
+    if not drop_last:
+        return [
+            list(keys[i * len(keys) // n : (i + 1) * len(keys) // n])
+            for i in range(n)
+        ]
+    return [list(keys[i * batch_size : (i + 1) * batch_size]) for i in range(n)]
+
+
+def _check_sort(name: str, value: str) -> None:
+    if value not in ("ascending", "descending"):
+        raise ValueError(f"{name} must be ascending or descending: {value}")
+
+
+def sorted_batches(
+    lengths: dict[str, int],
+    batch_size: int,
+    sort_in_batch: str = "descending",
+    sort_batch: str = "ascending",
+    drop_last: bool = False,
+) -> list[list[str]]:
+    """`batch_type: sorted` — constant batch size over length-sorted keys
+    (`espnet2/samplers/sorted_batch_sampler.py:20-78`): keys sorted by
+    length per `sort_in_batch`, split as evenly as possible (or into
+    fixed-size batches with `drop_last`), list reversed when the two sort
+    directions differ."""
+    _check_sort("sort_in_batch", sort_in_batch)
+    keys = sorted(
+        lengths, key=lambda k: lengths[k],
+        reverse=sort_in_batch == "descending",
+    )
+    if not keys:
+        raise RuntimeError("0 utterances")
+    batches = _even_split(keys, batch_size, drop_last)
+    if sort_in_batch != sort_batch:
+        _check_sort("sort_batch", sort_batch)
+        batches.reverse()
+    return batches
+
+
+def unsorted_batches(
+    keys: list[str],
+    batch_size: int,
+    drop_last: bool = False,
+    utt2category: dict[str, str] | None = None,
+) -> list[list[str]]:
+    """`batch_type: unsorted` — constant batch size in given key order,
+    no length information (`samplers/unsorted_batch_sampler.py:23-76`);
+    optional per-category batching (each category batched separately —
+    without the reference's `len(keys)`-vs-`len(category_keys)` slicing
+    bug, which mis-sizes batches whenever there is more than one
+    category)."""
+    if not keys:
+        raise RuntimeError("0 utterances")
+    if utt2category is None:
+        return _even_split(list(keys), batch_size, drop_last)
+    cat2utt: dict[str, list[str]] = {}
+    for k in keys:
+        cat2utt.setdefault(utt2category[k], []).append(k)
+    out: list[list[str]] = []
+    for cat_keys in cat2utt.values():
+        out.extend(_even_split(cat_keys, batch_size, drop_last))
+    return out
+
+
+def folded_batches(
+    lengths_list: list[dict[str, int]],
+    batch_size: int,
+    fold_lengths: list[int],
+    min_batch_size: int = 1,
+    sort_in_batch: str = "descending",
+    sort_batch: str = "ascending",
+    drop_last: bool = False,
+    utt2category: dict[str, str] | None = None,
+) -> list[list[str]]:
+    """`batch_type: folded` — variable batch size shrunk by length folds
+    (`samplers/folded_batch_sampler.py:10-136`): per batch, bs =
+    max(min_batch_size, batch_size // (1 + max_i(len_i // fold_i)));
+    an undersized final batch is redistributed over the others."""
+    _check_sort("sort_in_batch", sort_in_batch)
+    _check_sort("sort_batch", sort_batch)
+    first = lengths_list[0]
+    for d in lengths_list[1:]:
+        if set(d) != set(first):
+            raise RuntimeError("keys mismatched between length dicts")
+    keys = sorted(first, key=lambda k: first[k])  # ascending
+    if not keys:
+        raise RuntimeError("0 utterances")
+
+    cat2utt: dict[str, list[str]] = {}
+    if utt2category is None:
+        cat2utt["default"] = keys
+    else:
+        for k in keys:
+            cat2utt.setdefault(utt2category[k], []).append(k)
+
+    out: list[list[str]] = []
+    for cat_keys in cat2utt.values():
+        start = 0
+        batch_sizes: list[int] = []
+        while True:
+            k = cat_keys[start]
+            factor = max(
+                int(d[k] / m) for d, m in zip(lengths_list, fold_lengths)
+            )
+            bs = max(min_batch_size, int(batch_size / (1 + factor)))
+            if drop_last and start + bs > len(cat_keys) and batch_sizes:
+                break
+            bs = min(len(cat_keys) - start, bs)
+            batch_sizes.append(bs)
+            start += bs
+            if start >= len(cat_keys):
+                break
+        # redistribute an undersized tail over the earlier batches
+        # (folded_batch_sampler.py:98-101 — note the -2 offset: the tail
+        # fills from the second-to-last batch backwards)
+        if len(batch_sizes) > 1 and batch_sizes[-1] < min_batch_size:
+            for i in range(batch_sizes.pop(-1)):
+                batch_sizes[-(i % len(batch_sizes)) - 2] += 1
+        cur: list[list[str]] = []
+        start = 0
+        for bs in batch_sizes:
+            mb = cat_keys[start : start + bs]
+            start += bs
+            if sort_in_batch == "descending":
+                mb = mb[::-1]
+            cur.append(list(mb))
+        if sort_batch == "descending":
+            cur.reverse()
+        out.extend(cur)
+    return out
+
+
+def length_batches(
+    lengths_list: list[dict[str, int]],
+    batch_bins: int,
+    min_batch_size: int = 1,
+    sort_in_batch: str = "descending",
+    sort_batch: str = "ascending",
+    drop_last: bool = False,
+    padding: bool = True,
+) -> list[list[str]]:
+    """`batch_type: length` — pack under a summed-length budget
+    (`samplers/length_batch_sampler.py:10-126`). With `padding` the bin
+    count is sum over length dicts of B x current-key length (ascending
+    scan, so the current key is the batch max); without it, the raw sum
+    of member lengths."""
+    _check_sort("sort_in_batch", sort_in_batch)
+    _check_sort("sort_batch", sort_batch)
+    first = lengths_list[0]
+    for d in lengths_list[1:]:
+        if set(d) != set(first):
+            raise RuntimeError("keys mismatched between length dicts")
+    keys = sorted(first, key=lambda k: first[k])  # ascending
+    if not keys:
+        raise RuntimeError("0 utterances")
+
+    batch_sizes: list[int] = []
+    cur: list[str] = []
+    for key in keys:
+        cur.append(key)
+        if padding:
+            bins = sum(len(cur) * d[key] for d in lengths_list)
+        else:
+            bins = sum(d[k] for k in cur for d in lengths_list)
+        if bins > batch_bins and len(cur) >= min_batch_size:
+            batch_sizes.append(len(cur))
+            cur = []
+    if cur and (not drop_last or not batch_sizes):
+        batch_sizes.append(len(cur))
+    if len(batch_sizes) > 1 and batch_sizes[-1] < min_batch_size:
+        for i in range(batch_sizes.pop(-1)):
+            batch_sizes[-(i % len(batch_sizes)) - 1] += 1
+
+    out: list[list[str]] = []
+    it = iter(batch_sizes)
+    bs = next(it)
+    mb: list[str] = []
+    for key in keys:
+        mb.append(key)
+        if len(mb) == bs:
+            if sort_in_batch == "descending":
+                mb = mb[::-1]
+            out.append(mb)
+            mb = []
+            try:
+                bs = next(it)
+            except StopIteration:
+                break
+    if sort_batch == "descending":
+        out.reverse()
     return out
 
 

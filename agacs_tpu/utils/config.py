@@ -32,6 +32,10 @@ class TrainerConfig:
     accum_grad: int = 1
     batch_bins: int = 8_000_000
     batch_type: str = "numel"
+    # constant-size batch types (sorted/unsorted/folded) use batch_size;
+    # folded shrinks it by ceil(len/fold_length) per the reference
+    batch_size: int = 20
+    fold_length: tuple[int, ...] = (80000, 150)
     # fixed_shapes bucket-grid ratio: 1.3 -> ~22 compiled shapes at ~21%
     # padding overhead; 1.1 -> ~2x the shapes (and compiles) at ~half the
     # padding (tools/shape_census.py quantifies both for a corpus)
@@ -147,6 +151,8 @@ def trainer_config_from_dict(d: dict) -> TrainerConfig:
         accum_grad=int(d.get("accum_grad", 1)),
         batch_bins=int(d.get("batch_bins", 8_000_000)),
         batch_type=d.get("batch_type", "numel"),
+        batch_size=int(d.get("batch_size", 20)),
+        fold_length=tuple(d.get("fold_length", (80000, 150))),
         shape_ratio=float(d.get("shape_ratio", 1.3)),
         keep_nbest_models=int(d.get("keep_nbest_models", 3)),
         best_model_criterion=tuple(crit),
