@@ -65,6 +65,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="ngram npz from bin/ngram_train (whisper family)")
     p.add_argument("--ngram_weight", type=float, default=0.3)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--cross_kv_int8", action="store_true",
+                   help="store precomputed cross-attention K/V int8 "
+                   "(halves the dominant HBM term of AR decode; whisper "
+                   "kernel path only)")
     p.add_argument("--transducer_search", default="default",
                    choices=("default", "tsd", "alsd", "nsc", "maes"),
                    help="beam>1 transducer search: 'default' = the "
@@ -314,6 +318,12 @@ def _decode_transducer(args, task, params, ds):
 
 def _decode_whisper(args, task, params, ds):
     cfg = task.cfg
+    if args.cross_kv_int8:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, whisper=dataclasses.replace(cfg.whisper, cross_kv_int8=True)
+        )
     lm_params, lm_cfg = _load_lm(args)
     ngram_lm = None
     if args.ngram_file:

@@ -87,6 +87,11 @@ class WhisperConfig:
     # attention internals: measured +16%/+12%/+6% over "full" at
     # B8x15s/B16x15s/B32x5s on v5e (docs/PERF.md round-2 table)
     remat: str | bool = "dots_nb"
+    # serving: store the precomputed cross-attention K/V int8 with
+    # per-channel f32 scales — halves the dominant HBM term of AR decode
+    # (the per-step cross-KV stream; docs/PERF.md round-3). Dequant is
+    # folded into the fused decode kernel; ignored off the kernel path.
+    cross_kv_int8: bool = False
     # Unroll the layer loop instead of lax.scan for the teacher-forced
     # paths. scan+remat stacks every saved residual into (L, ...) buffers
     # via dynamic-update-slice and re-reads them with dynamic-slice —
@@ -818,6 +823,16 @@ def _decoder_side_fwd(params, cfg, tokens, xa):
 # ---------------------------------------------------------------------------
 
 
+def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-channel int8 quantization of a (B, T, d) buffer:
+    returns (int8 values, (d,) f32 scales). Channel maxima are taken over
+    the whole batch, so one scale vector serves every row."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=(0, 1)) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
 def precompute_cross_kv(params: Params, cfg: WhisperConfig, audio_feats: jax.Array) -> Params:
     """Per-layer cross-attention K/V from encoder output, computed once.
 
@@ -834,27 +849,41 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, audio_feats: jax.Arr
     n_head = dec_cfg.n_text_head
     scale = dec_cfg.d_text_head ** -0.25
     blocks = params["decoder"]["blocks"]
+    int8 = bool(cfg.cross_kv_int8)
     ks, vs = [], []
     kp, vp = [], []
+    ksc, vsc = [], []
     t_audio = xa.shape[1]
-    pad = decode_attn.pad_time(t_audio) - t_audio
+    align = decode_attn.TIME_ALIGN_I8 if int8 else decode_attn.TIME_ALIGN
+    pad = decode_attn.pad_time(t_audio, align) - t_audio
     for l in range(dec_cfg.n_text_layer):
         ca = jax.tree.map(lambda a: a[l], blocks)["cross_attn"]
         k_lin = linear(xa, ca["key"])
         v_lin = linear(xa, ca["value"])
         ks.append(_split_heads(k_lin, n_head) * scale)
         vs.append(_split_heads(v_lin, n_head))
-        # packed (B, Tp, d) layout for the fused decode-attention kernel
-        # (ungrouped rows, beam_groups == 1): k UNSCALED (the kernel's
-        # query carries the full d_head**-0.5), time padded to the tile.
-        # Each decode program touches only one of the two layouts, so
-        # XLA dead-code-eliminates the other inside jitted decodes.
-        kp.append(jnp.pad(k_lin, ((0, 0), (0, pad), (0, 0))))
-        vp.append(jnp.pad(v_lin, ((0, 0), (0, pad), (0, 0))))
+        # packed (B, Tp, d) layout for the fused decode-attention kernel:
+        # k UNSCALED (the kernel's query carries the full d_head**-0.5),
+        # time padded to the tile. Each decode program touches only one
+        # of the two layouts, so XLA dead-code-eliminates the other
+        # inside jitted decodes. cross_kv_int8 stores these quantized
+        # per-channel (the kernel folds the dequant scales in for free).
+        k_p = jnp.pad(k_lin, ((0, 0), (0, pad), (0, 0)))
+        v_p = jnp.pad(v_lin, ((0, 0), (0, pad), (0, 0)))
+        if int8:
+            k_p, s_k = _quantize_kv(k_p)
+            v_p, s_v = _quantize_kv(v_p)
+            ksc.append(s_k)
+            vsc.append(s_v)
+        kp.append(k_p)
+        vp.append(v_p)
     out = {
         "k": tuple(ks), "v": tuple(vs),
         "k_packed": tuple(kp), "v_packed": tuple(vp),
     }
+    if int8:
+        out["k_scale"] = tuple(ksc)
+        out["v_scale"] = tuple(vsc)
 
     if cfg.side_network is not None:
         # side ladder: memory is downsampled once, then each side block
@@ -1142,7 +1171,32 @@ def whisper_decode_step(
         # precompute_cross_kv — nothing per-step to slice or transpose
         kc = cross_kv["k"][l]
         vc = cross_kv["v"][l]
-        if beam_groups > 1:
+        quant_kw = (
+            dict(
+                k_scale=cross_kv["k_scale"][l],
+                v_scale=cross_kv["v_scale"][l],
+            )
+            if "k_scale" in cross_kv
+            else {}
+        )
+        if beam_groups > 1 and use_kernel and "k_packed" in cross_kv and (
+            decode_attn.shared_kernel_fits(
+                cross_kv["k_packed"][l].shape[1], d,
+                cross_kv["k_packed"][l].dtype.itemsize,
+            )
+        ):
+            # beam rows share their utterance's cross-KV: the shared-cache
+            # kernel reads each (Tp, d) block ONCE for all beam queries —
+            # the per-step cross-KV stream is the HBM floor of beam decode
+            # (docs/PERF.md round-3), and int8 storage halves it again
+            t_audio = kc.shape[2]
+            oc = decode_attn.decode_shared_cache_attention(
+                qc_lin[:, 0] * (scale * scale),
+                cross_kv["k_packed"][l], cross_kv["v_packed"][l],
+                jnp.int32(t_audio - 1), n_head, beam_groups, **quant_kw,
+            )
+            cross = linear(oc[:, None, :], p_cross["out"])
+        elif beam_groups > 1:
             bg = n // beam_groups
             # (bg, beam, h, 1, dh) queries vs shared (bg, h, T, dh) keys
             qcg = qc_lin.reshape(bg, beam_groups, n_head, d_head)
@@ -1162,7 +1216,7 @@ def whisper_decode_step(
             oc = decode_attn.decode_cache_attention(
                 qc_lin[:, 0] * (scale * scale),
                 cross_kv["k_packed"][l], cross_kv["v_packed"][l],
-                jnp.int32(t_audio - 1), n_head,
+                jnp.int32(t_audio - 1), n_head, **quant_kw,
             )
             cross = linear(oc[:, None, :], p_cross["out"])
         else:

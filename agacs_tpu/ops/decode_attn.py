@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding, PartitionSpec
 
 TIME_ALIGN = 16  # bf16 sublane tile; keeps cache blocks tile-aligned
+TIME_ALIGN_I8 = 32  # int8 sublane tile (quantized cross-KV caches)
 
 # VMEM budget for the double-buffered cache blocks; above this the
 # dispatcher switches to the time-chunked online-softmax kernel (and the
@@ -68,8 +69,8 @@ TIME_ALIGN = 16  # bf16 sublane tile; keeps cache blocks tile-aligned
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def pad_time(t: int) -> int:
-    return -(-t // TIME_ALIGN) * TIME_ALIGN
+def pad_time(t: int, align: int = TIME_ALIGN) -> int:
+    return -(-t // align) * align
 
 
 def use_decode_kernel() -> bool:
@@ -109,10 +110,13 @@ def pick_chunk(n_caches: int, rows: int, tp: int, d: int) -> int | None:
     return None
 
 
-def kernel_viable(n_caches: int, rows: int, tp: int, d: int) -> bool:
-    """Can the kernel run at these shapes (single-block or time-chunked)?"""
-    return kernel_fits(n_caches, rows, tp, d) or (
-        pick_chunk(n_caches, rows, tp, d) is not None
+def kernel_viable(
+    n_caches: int, rows: int, tp: int, d: int, itemsize: int = 2
+) -> bool:
+    """Can the kernel run at these shapes (single-block or time-chunked)?
+    The chunked fallback is bf16-only (itemsize 2)."""
+    return kernel_fits(n_caches, rows, tp, d, itemsize) or (
+        itemsize == 2 and pick_chunk(n_caches, rows, tp, d) is not None
     )
 
 
@@ -133,15 +137,26 @@ def _cache_spec(rows, tp, d):
     )
 
 
-def _make_kernel(n_head, j, pe):
-    """One beam group of j rows per grid step; see module docstring."""
+def _make_kernel(n_head, j, pe, quant=False):
+    """One beam group of j rows per grid step; see module docstring.
+
+    quant: k/v arrive int8 with per-channel f32 scales (1, d). The
+    dequantization is FREE on the hot path: k's scale folds into the
+    tiny query matrix (q·s_k before the transpose — the kernel then only
+    pays an int8->bf16 convert of the block), and v's scale applies to
+    the (m, d) post-reduction accumulator instead of the (j*Tp, d)
+    block."""
 
     def kern(pos_ref, *refs):
         if pe:
             gate_ref, q_ref, qcs_ref, k_ref, kcs_ref, v_ref, anc_ref, o_ref = refs
+            ks_ref = vs_ref = None
+        elif quant:
+            q_ref, k_ref, v_ref, ks_ref, vs_ref, anc_ref, o_ref = refs
+            gate_ref = qcs_ref = kcs_ref = None
         else:
             q_ref, k_ref, v_ref, anc_ref, o_ref = refs
-            gate_ref = qcs_ref = kcs_ref = None
+            gate_ref = qcs_ref = kcs_ref = ks_ref = vs_ref = None
         pos = pos_ref[0]
         jtp, d = k_ref.shape  # (j*Tp, d) flat cache block
         tp = jtp // j
@@ -149,6 +164,7 @@ def _make_kernel(n_head, j, pe):
         m = j * h
         d_head = d // h
         f32 = jnp.float32
+        kdt = jnp.bfloat16 if quant else k_ref.dtype
 
         # constant one-hot matrices (iota arithmetic only):
         #   colq[q, m'] = [m'//H == q]      (query-of-column)
@@ -165,22 +181,26 @@ def _make_kernel(n_head, j, pe):
         def qb_of(q_r):
             # (d, m) block-diagonal query matrix:
             # qb[dd, q*H + h'] = q[q, dd] * [head(dd) = h']
-            qt = q_r[0].astype(f32).T  # (d, j)
+            qr = q_r[0].astype(f32)  # (j, d)
+            if quant:
+                qr = qr * ks_ref[:]  # fold k's dequant scale into q
+            qt = qr.T  # (d, j)
             return (
                 jax.lax.dot_general(
                     qt, colq, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 )
                 * hrep
-            ).astype(k_ref.dtype)
+            ).astype(kdt)
 
         qb = qb_of(q_ref)
         qb_cs = qb_of(qcs_ref) if pe else None
 
         # ONE dot computes every (physical row jk, query q, head) score:
         # rows of the flat cache block are ordered jk*Tp + t
+        k_mat = k_ref[:].astype(kdt) if quant else k_ref[:]
         s_all = jax.lax.dot_general(
-            k_ref[:], qb, (((1,), (0,)), ((), ())),
+            k_mat, qb, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )  # (j*Tp, m)
         s_all_cs = (
@@ -231,13 +251,16 @@ def _make_kernel(n_head, j, pe):
         # value reduction as ONE (m, j*Tp) x (j*Tp, d) dot: the weight
         # matrix carries the ancestry select per row-block
         w_rows = [
-            (p * sels[jk]).astype(v_ref.dtype) for jk in range(j)
+            (p * sels[jk]).astype(kdt) for jk in range(j)
         ]  # j x (Tp, m)
         w_full = jnp.concatenate(w_rows, axis=0)  # (j*Tp, m)
+        v_mat = v_ref[:].astype(kdt) if quant else v_ref[:]
         big = jax.lax.dot_general(
-            w_full.T, v_ref[:], (((1,), (0,)), ((), ())),
+            w_full.T, v_mat, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )  # (m, d)
+        if quant:
+            big = big * vs_ref[:]  # v's dequant scale, post-reduction
         # head extraction: o[q, dd] = sum_h big[q*H+h, dd] * [head(dd)=h]
         o = jax.lax.dot_general(
             colq, big * hrep.T, (((1,), (0,)), ((), ())),
@@ -249,16 +272,18 @@ def _make_kernel(n_head, j, pe):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "beam", "pe", "interpret")
+    jax.jit, static_argnames=("n_head", "beam", "pe", "quant", "interpret")
 )
-def _call(pos, args, n_head, beam, pe, interpret=False):
+def _call(pos, args, n_head, beam, pe, quant=False, interpret=False):
     if pe:
         gate, q, q_cs, k, k_cs, v, anc = args
+    elif quant:
+        q, k, v, ks, vs, anc = args
     else:
         q, k, v, anc = args
     n, tp, d = k.shape
     g = n // beam
-    kern = _make_kernel(n_head, beam, pe)
+    kern = _make_kernel(n_head, beam, pe, quant)
     cache = _cache_spec(beam, tp, d)
     k = k.reshape(n * tp, d)
     v = v.reshape(n * tp, d)
@@ -275,6 +300,21 @@ def _call(pos, args, n_head, beam, pe, interpret=False):
         ins = (
             pos.reshape(1), gate.reshape(1, -1), q.reshape(g, beam, d),
             q_cs.reshape(g, beam, d), k, k_cs, v, anc.reshape(g, beam, tp),
+        )
+    elif quant:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(beam, d),
+            cache, cache,
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # k scale (1, d)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # v scale (1, d)
+            _row_spec(beam, tp),
+        ]
+        ins = (
+            pos.reshape(1), q.reshape(g, beam, d), k, v,
+            ks.reshape(1, d).astype(jnp.float32),
+            vs.reshape(1, d).astype(jnp.float32),
+            anc.reshape(g, beam, tp),
         )
     else:
         in_specs = [
@@ -487,12 +527,12 @@ def _call_chunked(pos, args, n_head, beam, pe, tc, interpret=False):
     return out.reshape(n, d)
 
 
-def _pick_rows(n: int, tp: int, d: int, n_caches: int) -> int:
+def _pick_rows(n: int, tp: int, d: int, n_caches: int, itemsize: int = 2) -> int:
     # pseudo-group size for the plain path: kernel FLOPs grow as rows^2,
     # so stay small; larger blocks only amortize grid overheads. Must
     # also fit the VMEM budget at this context length.
     for bn in (8, 4, 2):
-        if n % bn == 0 and kernel_fits(n_caches, bn, tp, d):
+        if n % bn == 0 and kernel_fits(n_caches, bn, tp, d, itemsize):
             return bn
     return 1
 
@@ -509,6 +549,8 @@ def decode_cache_attention(
     q_cs: jax.Array | None = None,
     k_cs: jax.Array | None = None,
     gate: jax.Array | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """One decode step of masked cache attention: (N, d) output.
@@ -518,27 +560,41 @@ def decode_cache_attention(
     With `anc_local` (N, Tp) and beam > 1, rows are read through the
     ancestry map within each beam group (exact one-hot semantics of
     `decode/beam.py`). PE dual-QK: pass q_cs/k_cs and the per-head f32
-    `gate` (post-sigmoid). Callers should consult `use_decode_kernel` /
-    `kernel_viable` and keep an XLA fallback. Shapes whose single-block
-    cache blocks exceed the VMEM budget (e.g. the 3-cache PE variant at
-    full 448 ctx) dispatch to the time-chunked online-softmax kernel.
+    `gate` (post-sigmoid). int8 caches (halved HBM traffic for the
+    precomputed cross-KV): pass per-channel (d,)-f32 `k_scale`/`v_scale`
+    and Tp % TIME_ALIGN_I8 == 0 (single-block kernel only, no PE).
+    Callers should consult `use_decode_kernel` / `kernel_viable` and
+    keep an XLA fallback. Shapes whose single-block cache blocks exceed
+    the VMEM budget (e.g. the 3-cache PE variant at full 448 ctx)
+    dispatch to the time-chunked online-softmax kernel.
     """
     pos = jnp.asarray(pos, jnp.int32)
     # off-TPU (forced AGACS_DECODE_KERNEL=pallas in tests) run interpreted
     interpret = interpret or jax.default_backend() != "tpu"
     n, tp, d = k.shape
     pe = q_cs is not None
+    quant = k_scale is not None
+    assert not (pe and quant), "int8 caches unsupported for the PE variant"
+    if quant:
+        k_scale = jnp.asarray(k_scale, jnp.float32).reshape(1, -1)
+        v_scale = jnp.asarray(v_scale, jnp.float32).reshape(1, -1)
     n_caches = 3 if pe else 2
     if anc_local is None or beam <= 1:
-        # independent rows: identity ancestry over small pseudo-groups
-        beam = _pick_rows(n, tp, d, n_caches)
+        # independent rows: identity ancestry over small pseudo-groups.
+        # Quantized caches use the bf16 row pick: the block-diagonal dot
+        # FLOPs grow linearly with rows, and letting int8's smaller
+        # blocks admit more rows doubles MXU work — measured to eat most
+        # of the halved-DMA win at greedy 8x15 s (docs/PERF.md round-3).
+        beam = _pick_rows(n, tp, d, n_caches, 2)
         anc_local = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[:, None] % beam, (n, tp)
         )
-    args = (
-        (gate, q, q_cs, k, k_cs, v, anc_local) if pe
-        else (q, k, v, anc_local)
-    )
+    if pe:
+        args = (gate, q, q_cs, k, k_cs, v, anc_local)
+    elif quant:
+        args = (q, k, v, k_scale, v_scale, anc_local)
+    else:
+        args = (q, k, v, anc_local)
     # SPMD: on a multi-device process the dispatch runs per-shard under
     # a custom_partitioning rule that shards whole beam groups along the
     # row dim (see _cp below) — without it GSPMD replicates the Mosaic
@@ -547,22 +603,24 @@ def decode_cache_attention(
     # custom-call boundary forces default operand layouts and measurably
     # re-lays out the tuple caches (+11% greedy step time at 8x15 s).
     if jax.device_count() > 1:
-        return _cp(n // beam, n_head, beam, pe, interpret)(
+        return _cp(n // beam, n_head, beam, pe, quant, interpret)(
             pos.reshape(1), *args)
-    return _dispatch(pos, args, n_head, beam, pe, interpret)
+    return _dispatch(pos, args, n_head, beam, pe, quant, interpret)
 
 
-def _dispatch(pos, args, n_head, beam, pe, interpret):
+def _dispatch(pos, args, n_head, beam, pe, quant, interpret):
     k = args[3] if pe else args[1]
     n, tp, d = k.shape
     n_caches = 3 if pe else 2
-    if not kernel_fits(n_caches, beam, tp, d):
-        tc = pick_chunk(n_caches, beam, tp, d)
+    if not kernel_fits(n_caches, beam, tp, d, k.dtype.itemsize):
+        # the chunked kernel is bf16-only; int8 callers guarantee fit
+        # via kernel_fits before choosing the quantized path
+        tc = pick_chunk(n_caches, beam, tp, d) if not quant else None
         if tc is not None:
             return _call_chunked(
                 pos, args, n_head, beam, pe, tc, interpret=interpret
             )
-    return _call(pos, args, n_head, beam, pe, interpret=interpret)
+    return _call(pos, args, n_head, beam, pe, quant, interpret=interpret)
 
 
 def _group_sharding(sharding, mesh, rank, n, beam):
@@ -584,7 +642,7 @@ def _group_sharding(sharding, mesh, rank, n, beam):
 
 
 @functools.lru_cache(maxsize=None)
-def _cp(g_groups, n_head, beam, pe, interpret):
+def _cp(g_groups, n_head, beam, pe, quant, interpret):
     """custom_partitioning wrapper for the decode kernels: rows (= beam
     groups) shard along the data axis, everything else replicated. The
     shardy rule's compound row factor (g j) with j = beam pinned
@@ -592,18 +650,28 @@ def _cp(g_groups, n_head, beam, pe, interpret):
     GSPMD-path callbacks enforce the same via _group_sharding."""
 
     def impl(pos1, *args):
-        return _dispatch(pos1[0], args, n_head, beam, pe, interpret)
+        return _dispatch(pos1[0], args, n_head, beam, pe, quant, interpret)
 
     f = custom_partitioning(impl)
-    # arg ranks: pos (1,) [+ gate (H,)], then per-row arrays
-    lead = 2 if pe else 1
-    ranks = ([1, 1] if pe else [1]) + ([2, 2, 3, 3, 3, 2] if pe
-                                       else [2, 3, 3, 2])
+    # arg ranks; repl_idx marks operands that are always fully
+    # replicated (pos / PE gate / int8 dequant scales)
+    if pe:
+        ranks = [1, 1, 2, 2, 3, 3, 3, 2]
+        repl_idx = {0, 1}
+        q_idx, k_idx = 2, 4
+    elif quant:
+        ranks = [1, 2, 3, 3, 2, 2, 2]
+        repl_idx = {0, 4, 5}
+        q_idx, k_idx = 1, 2
+    else:
+        ranks = [1, 2, 3, 3, 2]
+        repl_idx = {0}
+        q_idx, k_idx = 1, 2
 
     def _shardings(shs, mesh, k_shape):
         out = []
         for i, (s, r) in enumerate(zip(shs, ranks)):
-            if i < lead:
+            if i in repl_idx:
                 out.append(NamedSharding(mesh, PartitionSpec(
                     *([None] * r))))
             else:
@@ -611,8 +679,8 @@ def _cp(g_groups, n_head, beam, pe, interpret):
         return tuple(out)
 
     def infer(mesh, arg_shapes, result_shape):
-        k_shape = arg_shapes[lead + (2 if pe else 1)].shape
-        return _group_sharding(arg_shapes[lead].sharding, mesh, 2,
+        k_shape = arg_shapes[k_idx].shape
+        return _group_sharding(arg_shapes[q_idx].sharding, mesh, 2,
                                k_shape[0], beam)
 
     def prop(mesh, user_shape):
@@ -620,13 +688,13 @@ def _cp(g_groups, n_head, beam, pe, interpret):
                                user_shape.shape[0], beam)
 
     def partition(mesh, arg_shapes, result_shape):
-        k_shape = arg_shapes[lead + (2 if pe else 1)].shape
+        k_shape = arg_shapes[k_idx].shape
         arg_sh = _shardings([a.sharding for a in arg_shapes], mesh, k_shape)
         out_sh = _group_sharding(result_shape.sharding, mesh, 2,
                                  k_shape[0], beam)
 
         def lower(pos1, *args):
-            k_l = args[3] if pe else args[1]
+            k_l = args[k_idx - 1]
             if k_l.shape[0] % beam == 0:
                 return impl(pos1, *args)
             # misaligned local shard (shouldn't happen given the rule):
@@ -636,6 +704,11 @@ def _cp(g_groups, n_head, beam, pe, interpret):
                 return decode_cache_attention_ref(
                     q, k, v, pos1[0], n_head, anc_local=anc, beam=beam,
                     q_cs=q_cs, k_cs=k_cs, gate=gate)
+            if quant:
+                q, k, v, ks, vs, anc = args
+                return decode_cache_attention_ref(
+                    q, k, v, pos1[0], n_head, anc_local=anc, beam=beam,
+                    k_scale=ks, v_scale=vs)
             q, k, v, anc = args
             return decode_cache_attention_ref(
                 q, k, v, pos1[0], n_head, anc_local=anc, beam=beam)
@@ -648,7 +721,7 @@ def _cp(g_groups, n_head, beam, pe, interpret):
     # group pins the rows replicated.
     # need_replication factors must be listed in order of first
     # appearance in the rule (shardy requires sorted factor indices):
-    # p, [h], [j], d, t
+    # p, [h], [j], d, t, [u]
     sizes = {}
     repl = ["p"] + (["h"] if pe else [])
     if beam == 1:
@@ -664,6 +737,10 @@ def _cp(g_groups, n_head, beam, pe, interpret):
     if pe:
         rule = (f"p, h, {row} d, {row} d, {row} t d, {row} t d, {row} t d,"
                 f" {row} t -> {row} d")
+    elif quant:
+        rule = (f"p, {row} d, {row} t d, {row} t d, u d, u d, {row} t"
+                f" -> {row} d")
+        repl.append("u")
     else:
         rule = f"p, {row} d, {row} t d, {row} t d, {row} t -> {row} d"
     f.def_partition(
@@ -679,9 +756,16 @@ def _cp(g_groups, n_head, beam, pe, interpret):
 
 def decode_cache_attention_ref(
     q, k, v, pos, n_head, *, anc_local=None, beam=1, q_cs=None, k_cs=None,
-    gate=None
+    gate=None, k_scale=None, v_scale=None
 ):
     """Pure-jnp oracle with identical semantics (tests/CPU)."""
+    if k_scale is not None:
+        k = (k.astype(jnp.float32)
+             * jnp.asarray(k_scale, jnp.float32).reshape(1, 1, -1)
+             ).astype(q.dtype)
+        v = (v.astype(jnp.float32)
+             * jnp.asarray(v_scale, jnp.float32).reshape(1, 1, -1)
+             ).astype(q.dtype)
     n, tp, d = k.shape
     d_head = d // n_head
     hm = (
@@ -730,4 +814,297 @@ def decode_cache_attention_ref(
     p = jax.nn.softmax(s, axis=1)  # (n, t, h)
     vg = v.reshape(n, tp, n_head, d_head)
     o = jnp.einsum("nth,nthc->nhc", p.astype(v.dtype), vg).reshape(n, d)
+    return o.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# shared-cache grouped attention: beam rows attending to ONE cache row
+# ---------------------------------------------------------------------------
+
+
+def shared_kernel_fits(tp: int, d: int, itemsize: int = 2) -> bool:
+    """Do one group's double-buffered (Tp, d) k+v blocks fit VMEM?"""
+    return kernel_fits(2, 1, tp, d, itemsize)
+
+
+def _make_kernel_shared(n_head, j, quant):
+    """Grouped cross-attention: each grid step owns one cache row (one
+    utterance's precomputed cross-K/V) and the j beam queries that share
+    it. Unlike `_make_kernel` there is no ancestry — all j queries read
+    the SAME (Tp, d) cache block, so the beam path stops paying beam x
+    the cross-KV HBM traffic the per-row layout would cost, and the score
+    /value contractions stay single MXU dots. quant: int8 caches with
+    per-channel f32 scales, dequantized for free (k's scale folds into
+    the query matrix; v's applies post-reduction — see _make_kernel)."""
+
+    def kern(pos_ref, *refs):
+        if quant:
+            q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
+            ks_ref = vs_ref = None
+        pos = pos_ref[0]
+        tp, d = k_ref.shape  # ONE group's cache block
+        h = n_head
+        m = j * h
+        d_head = d // h
+        f32 = jnp.float32
+        kdt = jnp.bfloat16 if quant else k_ref.dtype
+
+        colq = (
+            jax.lax.broadcasted_iota(jnp.int32, (j, m), 1) // h
+            == jax.lax.broadcasted_iota(jnp.int32, (j, m), 0)
+        ).astype(f32)
+        hrep = (
+            jax.lax.broadcasted_iota(jnp.int32, (d, m), 0) // d_head
+            == jax.lax.broadcasted_iota(jnp.int32, (d, m), 1) % h
+        ).astype(f32)
+
+        qr = q_ref[0].astype(f32)  # (j, d)
+        if quant:
+            qr = qr * ks_ref[:]
+        qb = (
+            jax.lax.dot_general(
+                qr.T, colq, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            * hrep
+        ).astype(kdt)  # (d, m) block-diagonal query matrix
+
+        k_mat = k_ref[:].astype(kdt) if quant else k_ref[:]
+        lg = jax.lax.dot_general(
+            k_mat, qb, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (Tp, m)
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (tp, m), 0)
+        lg = jnp.where(t_ids <= pos, lg, -1.0e30)
+        mx = jnp.max(lg, axis=0, keepdims=True)
+        ex = jnp.exp(lg - mx)
+        p = ex / jnp.sum(ex, axis=0, keepdims=True)  # (Tp, m) f32
+
+        v_mat = v_ref[:].astype(kdt) if quant else v_ref[:]
+        big = jax.lax.dot_general(
+            p.astype(kdt).T, v_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (m, d)
+        if quant:
+            big = big * vs_ref[:]
+        o = jax.lax.dot_general(
+            colq, big * hrep.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (j, d)
+        o_ref[0] = o.astype(o_ref.dtype)
+
+    return kern
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "beam", "quant", "interpret")
+)
+def _call_shared(pos, args, n_head, beam, quant=False, interpret=False):
+    if quant:
+        q, k, v, ks, vs = args
+    else:
+        q, k, v = args
+    g, tp, d = k.shape
+    kern = _make_kernel_shared(n_head, beam, quant)
+    cache = pl.BlockSpec(
+        (tp, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    k = k.reshape(g * tp, d)
+    v = v.reshape(g * tp, d)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        _row_spec(beam, d),
+        cache, cache,
+    ]
+    ins = [pos.reshape(1), q.reshape(g, beam, d), k, v]
+    if quant:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k scale (1, d)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v scale (1, d)
+        ]
+        ins += [
+            ks.reshape(1, d).astype(jnp.float32),
+            vs.reshape(1, d).astype(jnp.float32),
+        ]
+    out = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=_row_spec(beam, d),
+        out_shape=jax.ShapeDtypeStruct((g, beam, d), q.dtype),
+        interpret=interpret,
+    )(*ins)
+    return out.reshape(g * beam, d)
+
+
+def decode_shared_cache_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pos: jax.Array,
+    n_head: int,
+    beam: int,
+    *,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grouped masked cache attention: (G*beam, d) queries over (G, Tp, d)
+    shared caches -> (G*beam, d). Beam rows are group-major (row g*beam+i
+    is utterance g's beam slot i). q pre-scaled by d_head**-0.5; positions
+    > pos are masked (pass Tp_valid - 1 to mask tile padding). int8
+    caches: per-channel (d,)-f32 k_scale/v_scale. Callers should check
+    `shared_kernel_fits` (no chunked fallback) and keep an XLA path."""
+    pos = jnp.asarray(pos, jnp.int32)
+    interpret = interpret or jax.default_backend() != "tpu"
+    g, tp, d = k.shape
+    quant = k_scale is not None
+    if quant:
+        k_scale = jnp.asarray(k_scale, jnp.float32).reshape(1, -1)
+        v_scale = jnp.asarray(v_scale, jnp.float32).reshape(1, -1)
+        args = (q, k, v, k_scale, v_scale)
+    else:
+        args = (q, k, v)
+    if jax.device_count() > 1:
+        return _cp_shared(g, n_head, beam, quant, interpret)(
+            pos.reshape(1), *args)
+    return _call_shared(pos, args, n_head, beam, quant, interpret=interpret)
+
+
+def _shared_group_sharding(sharding, mesh, rank, rows, per_group):
+    """Row-dim-only sharding for the shared-cache kernel operands, where
+    the row dim holds `rows` items in units of `per_group` (beam for q,
+    1 for the caches); dropped to replicated on misalignment."""
+    if not isinstance(sharding, NamedSharding):
+        return NamedSharding(mesh, PartitionSpec(*([None] * rank)))
+    spec = tuple(sharding.spec) + (None,) * (rank - len(sharding.spec))
+    row = spec[0]
+    if row is not None:
+        axes = row if isinstance(row, tuple) else (row,)
+        shards = 1
+        for a in axes:
+            shards *= sharding.mesh.shape[a]
+        if rows % (shards * per_group):
+            row = None
+    return NamedSharding(sharding.mesh,
+                         PartitionSpec(row, *([None] * (rank - 1))))
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_shared(g_groups, n_head, beam, quant, interpret):
+    """custom_partitioning for the shared-cache kernel: groups shard
+    along the data axis (q in whole beam blocks, caches by group row),
+    scales/pos replicated."""
+
+    def impl(pos1, *args):
+        return _call_shared(pos1[0], args, n_head, beam, quant, interpret)
+
+    f = custom_partitioning(impl)
+    ranks = [1, 2, 3, 3] + ([2, 2] if quant else [])
+    repl_idx = {0} | ({4, 5} if quant else set())
+
+    def _shardings(shs, mesh, n_rows):
+        out = []
+        for i, (s, r) in enumerate(zip(shs, ranks)):
+            if i in repl_idx:
+                out.append(NamedSharding(mesh, PartitionSpec(
+                    *([None] * r))))
+            else:
+                per = beam if r == 2 else 1
+                rows = n_rows if r == 2 else n_rows // beam
+                out.append(_shared_group_sharding(s, mesh, r, rows, per))
+        return tuple(out)
+
+    def infer(mesh, arg_shapes, result_shape):
+        n_rows = arg_shapes[1].shape[0]
+        return _shared_group_sharding(
+            arg_shapes[1].sharding, mesh, 2, n_rows, beam)
+
+    def prop(mesh, user_shape):
+        return _shared_group_sharding(
+            user_shape.sharding, mesh, 2, user_shape.shape[0], beam)
+
+    def partition(mesh, arg_shapes, result_shape):
+        n_rows = arg_shapes[1].shape[0]
+        arg_sh = _shardings([a.sharding for a in arg_shapes], mesh, n_rows)
+        out_sh = _shared_group_sharding(
+            result_shape.sharding, mesh, 2, n_rows, beam)
+
+        def lower(pos1, *args):
+            q_l, k_l = args[0], args[1]
+            if q_l.shape[0] == k_l.shape[0] * beam:
+                return impl(pos1, *args)
+            # misaligned shard: exact jnp oracle
+            if quant:
+                q, k, v, ks, vs = args
+                return decode_shared_cache_attention_ref(
+                    q, k, v, pos1[0], n_head, beam, k_scale=ks, v_scale=vs)
+            q, k, v = args
+            return decode_shared_cache_attention_ref(
+                q, k, v, pos1[0], n_head, beam)
+
+        return mesh, lower, out_sh, arg_sh
+
+    # q rows as (g j) with j = beam pinned; caches shard their group dim
+    # g directly, tied to q's g factor
+    sizes = {}
+    repl = ["p"]
+    if g_groups == 1:
+        row = "j"
+        repl.append("j")
+        cache_row = "c"
+        repl.append("c")
+    else:
+        row = "(g j)"
+        # g also names the caches' whole group dim, so its size is
+        # inferable — only the compound-only factor j takes a size
+        sizes = {"j": beam}
+        repl.append("j")
+        cache_row = "g"
+    repl += ["d", "t"]
+    if quant:
+        rule = (f"p, {row} d, {cache_row} t d, {cache_row} t d, u d, u d"
+                f" -> {row} d")
+        repl.append("u")
+    else:
+        rule = f"p, {row} d, {cache_row} t d, {cache_row} t d -> {row} d"
+    f.def_partition(
+        partition=partition,
+        propagate_user_sharding=prop,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=tuple(repl),
+        **sizes,
+    )
+    return f
+
+
+def decode_shared_cache_attention_ref(
+    q, k, v, pos, n_head, beam, *, k_scale=None, v_scale=None
+):
+    """Pure-jnp oracle with identical semantics (tests/CPU)."""
+    if k_scale is not None:
+        k = (k.astype(jnp.float32)
+             * jnp.asarray(k_scale, jnp.float32).reshape(1, 1, -1)
+             ).astype(q.dtype)
+        v = (v.astype(jnp.float32)
+             * jnp.asarray(v_scale, jnp.float32).reshape(1, 1, -1)
+             ).astype(q.dtype)
+    g, tp, d = k.shape
+    d_head = d // n_head
+    hm = (
+        (jnp.arange(d)[:, None] // d_head) == jnp.arange(n_head)[None, :]
+    ).astype(k.dtype)
+    qg = q.reshape(g, beam, d)
+    qb = qg[..., None] * hm[None, None]  # (g, j, d, h)
+    s = jnp.einsum("gtd,gjdh->gjth", k, qb).astype(jnp.float32)
+    t_ids = jnp.arange(tp)[None, None, :, None]
+    s = jnp.where(t_ids <= pos, s, -1.0e30)
+    p = jax.nn.softmax(s, axis=2)  # (g, j, t, h)
+    vg = v.reshape(g, tp, n_head, d_head)
+    o = jnp.einsum(
+        "gjth,gthc->gjhc", p.astype(v.dtype), vg
+    ).reshape(g * beam, d)
     return o.astype(q.dtype)

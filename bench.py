@@ -185,6 +185,9 @@ def _bench_inference():
     from agacs_tpu.utils.runtime import fetch
 
     cfg = make_config("small", compute_dtype=jnp.bfloat16)
+    cfg_i8 = make_config(
+        "small", compute_dtype=jnp.bfloat16, cross_kv_int8=True
+    )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
     sec = 15
@@ -193,6 +196,8 @@ def _bench_inference():
     for name, b, fn in (
         ("greedy_8x15s", 8,
          lambda enc: greedy_decode(params, cfg, enc, max_steps=100)),
+        ("greedy_8x15s_int8kv", 8,
+         lambda enc: greedy_decode(params, cfg_i8, enc, max_steps=100)),
         ("beam5_1x15s", 1,  # single-utterance serving latency
          lambda enc: beam_decode(params, cfg, enc, beam_size=5,
                                  max_steps=100, loop="scan")),

@@ -265,3 +265,36 @@ def test_decode_dp_sharded_kernel_path(monkeypatch):
     np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb2))
     np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb2))
     np.testing.assert_allclose(np.asarray(sb), np.asarray(sb2), atol=1e-5)
+
+
+def test_decode_dp_sharded_int8_cross(monkeypatch):
+    """dp-sharded-vs-single exactness with int8 cross-KV + the forced
+    kernel: exercises the quantized custom_partitioning rules (scales
+    replicated, caches group-sharded) for both the shared grouped and
+    ungrouped cross-attention sites."""
+    import dataclasses
+
+    from agacs_tpu.parallel import make_mesh, shard_batch, shard_params
+
+    monkeypatch.setenv("AGACS_DECODE_KERNEL", "pallas")
+    cfg = dataclasses.replace(TINY, cross_kv_int8=True)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(7), (8, 32, 64), jnp.float32)
+
+    tg, lg = greedy_decode(params, cfg, enc, primer=PRIMER, max_steps=6)
+    tb, lb, sb = beam_decode(
+        params, cfg, enc, beam_size=3, primer=PRIMER, max_steps=6
+    )
+
+    mesh = make_mesh(n_data=8)
+    params_s = shard_params(mesh, params)
+    enc_s = shard_batch(mesh, enc)
+    tg2, lg2 = greedy_decode(params_s, cfg, enc_s, primer=PRIMER, max_steps=6)
+    tb2, lb2, sb2 = beam_decode(
+        params_s, cfg, enc_s, beam_size=3, primer=PRIMER, max_steps=6
+    )
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(tg2))
+    np.testing.assert_array_equal(np.asarray(lg), np.asarray(lg2))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb2))
+    np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb2))
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sb2), atol=1e-5)

@@ -180,3 +180,114 @@ def test_chunked_plain(monkeypatch):
     o_k = decode_cache_attention(q, k, v, 50, h, interpret=True)
     o_r = decode_cache_attention_ref(q, k, v, 50, h)
     np.testing.assert_allclose(o_k, o_r, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized caches + shared-cache grouped kernel
+# ---------------------------------------------------------------------------
+
+
+def _quantize(x):
+    s = np.abs(np.asarray(x, np.float32)).reshape(-1, x.shape[-1]).max(0) / 127.0
+    s = np.maximum(s, 1e-8)
+    q = np.clip(np.round(np.asarray(x) / s), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(s, jnp.float32)
+
+
+@pytest.mark.parametrize("pos", [0, 5, TP - 1])
+def test_plain_int8(data, pos):
+    k8, ks = _quantize(data["k"])
+    v8, vs = _quantize(data["v"])
+    o_k = decode_cache_attention(
+        data["q"], k8, v8, pos, H, k_scale=ks, v_scale=vs, interpret=True
+    )
+    o_r = decode_cache_attention_ref(
+        data["q"], k8, v8, pos, H, k_scale=ks, v_scale=vs
+    )
+    # kernel folds scales differently (into q / post-reduction) and
+    # dots in bf16; both describe the same dequantized math
+    np.testing.assert_allclose(o_k, o_r, atol=2e-3)
+    # and both sit near the unquantized attention
+    o_f = decode_cache_attention_ref(data["q"], data["k"], data["v"], pos, H)
+    err = np.abs(np.asarray(o_k) - np.asarray(o_f)).max()
+    assert err < 0.05 * np.abs(np.asarray(o_f)).max(), err
+
+
+def test_int8_grouped_ancestry(data):
+    k8, ks = _quantize(data["k"])
+    v8, vs = _quantize(data["v"])
+    kw = dict(anc_local=data["anc"] % 4, beam=4)
+    o_k = decode_cache_attention(
+        data["q"], k8, v8, 9, H, k_scale=ks, v_scale=vs, interpret=True, **kw
+    )
+    o_r = decode_cache_attention_ref(
+        data["q"], k8, v8, 9, H, k_scale=ks, v_scale=vs, **kw
+    )
+    np.testing.assert_allclose(o_k, o_r, atol=2e-3)
+
+
+from agacs_tpu.ops.decode_attn import (  # noqa: E402
+    decode_shared_cache_attention,
+    decode_shared_cache_attention_ref,
+    shared_kernel_fits,
+)
+
+G, BEAM = 2, 4
+
+
+@pytest.fixture(scope="module")
+def shared_data():
+    rng = np.random.RandomState(1)
+
+    def mk(*shape):
+        return jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.3)
+
+    return {
+        "q": mk(G * BEAM, D), "k": mk(G, TP, D), "v": mk(G, TP, D),
+    }
+
+
+@pytest.mark.parametrize("pos", [0, 7, TP - 1])
+def test_shared(shared_data, pos):
+    d = shared_data
+    o_k = decode_shared_cache_attention(
+        d["q"], d["k"], d["v"], pos, H, BEAM, interpret=True
+    )
+    o_r = decode_shared_cache_attention_ref(d["q"], d["k"], d["v"], pos, H, BEAM)
+    np.testing.assert_allclose(o_k, o_r, atol=1e-6)
+    assert o_k.shape == (G * BEAM, D)
+
+
+def test_shared_int8(shared_data):
+    d = shared_data
+    k8, ks = _quantize(d["k"])
+    v8, vs = _quantize(d["v"])
+    o_k = decode_shared_cache_attention(
+        d["q"], k8, v8, 11, H, BEAM, k_scale=ks, v_scale=vs, interpret=True
+    )
+    o_r = decode_shared_cache_attention_ref(
+        d["q"], k8, v8, 11, H, BEAM, k_scale=ks, v_scale=vs
+    )
+    np.testing.assert_allclose(o_k, o_r, atol=2e-3)
+    o_f = decode_shared_cache_attention_ref(d["q"], d["k"], d["v"], 11, H, BEAM)
+    err = np.abs(np.asarray(o_k) - np.asarray(o_f)).max()
+    assert err < 0.05 * np.abs(np.asarray(o_f)).max(), err
+
+
+def test_shared_matches_per_row_replication(shared_data):
+    # the shared kernel must equal the per-row kernel run on caches
+    # replicated beam times (the layout it replaces)
+    d = shared_data
+    k_rep = jnp.repeat(d["k"], BEAM, axis=0)  # (G*BEAM, TP, D)
+    v_rep = jnp.repeat(d["v"], BEAM, axis=0)
+    o_shared = decode_shared_cache_attention(
+        d["q"], d["k"], d["v"], 13, H, BEAM, interpret=True
+    )
+    o_rep = decode_cache_attention_ref(d["q"], k_rep, v_rep, 13, H)
+    np.testing.assert_allclose(o_shared, o_rep, atol=1e-6)
+
+
+def test_shared_fits_helper():
+    assert shared_kernel_fits(1504, 768)          # whisper-small, bf16
+    assert shared_kernel_fits(1504, 1280, 1)      # whisper-large, int8
+    assert not shared_kernel_fits(1504, 1280, 2)  # whisper-large, bf16

@@ -166,3 +166,72 @@ def test_lm_step_kernel_matches_xla(monkeypatch):
         return jnp.stack(outs)
 
     np.testing.assert_allclose(run("xla"), run("pallas"), atol=2e-4, rtol=2e-4)
+
+
+def test_int8_cross_kv_quantization():
+    """precompute_cross_kv(cross_kv_int8) emits int8 packed buffers +
+    per-channel scales whose dequantization matches the bf16 layout."""
+    import dataclasses
+
+    cfg = _whisper_cfg(cross_kv_int8=True)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    enc = jnp.asarray(
+        np.random.RandomState(0).randn(B, T_ENC, 64).astype(np.float32) * 0.3
+    )
+    cross = precompute_cross_kv(params, cfg, enc)
+    cfg_f = dataclasses.replace(cfg, cross_kv_int8=False)
+    cross_f = precompute_cross_kv(params, cfg_f, enc)
+    assert cross["k_packed"][0].dtype == jnp.int8
+    assert cross["v_packed"][0].dtype == jnp.int8
+    assert "k_scale" in cross and cross["k_scale"][0].shape == (64,)
+    for l in range(cfg.n_text_layer):
+        for name in ("k", "v"):
+            deq = (
+                cross[f"{name}_packed"][l].astype(np.float32)
+                * np.asarray(cross[f"{name}_scale"][l])[None, None, :]
+            )
+            ref = np.asarray(cross_f[f"{name}_packed"][l], np.float32)
+            t = ref.shape[1]  # int8 pads time further (32-align)
+            scale = np.abs(ref).max() or 1.0
+            assert np.abs(deq[:, :t] - ref).max() / scale < 1e-2
+            # int8 pad region must dequantize to exactly 0 (masked anyway)
+            assert np.all(deq[:, t:] == 0.0)
+
+
+@pytest.mark.parametrize("beam", [1, 3])
+def test_whisper_step_int8_cross_matches_bf16(beam, monkeypatch):
+    """Forced-kernel decode steps with int8 cross-KV track the unquantized
+    kernel path within quantization error, for both the ungrouped
+    (greedy) and shared-cache grouped (beam) cross-attention sites."""
+    anc = beam > 1
+    a = _run_whisper_steps(
+        _whisper_cfg(), "pallas", monkeypatch, beam=beam, ancestry=anc
+    )
+    b = _run_whisper_steps(
+        _whisper_cfg(cross_kv_int8=True), "pallas", monkeypatch,
+        beam=beam, ancestry=anc,
+    )
+    # logits are f32; int8 per-channel quantization of cross K/V perturbs
+    # them by O(1/127) per channel
+    np.testing.assert_allclose(a, b, atol=0.05, rtol=0.05)
+    assert np.mean(np.argmax(np.asarray(a), -1) == np.argmax(np.asarray(b), -1)) == 1.0
+
+
+def test_whisper_step_shared_kernel_site(monkeypatch):
+    """The grouped cross-attention must actually route through the
+    shared-cache kernel (not silently fall back) when viable."""
+    import agacs_tpu.ops.decode_attn as da
+
+    calls = []
+    orig = da.decode_shared_cache_attention
+
+    def spy(*a, **k):
+        calls.append(a[0].shape)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(da, "decode_shared_cache_attention", spy)
+    _run_whisper_steps(
+        _whisper_cfg(), "pallas", monkeypatch, beam=3, ancestry=True
+    )
+    # 2 layers x 3 steps = 6 grouped cross-attention calls
+    assert len(calls) == 6 and calls[0] == (B * 3, 64)

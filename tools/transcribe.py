@@ -27,6 +27,8 @@ def main():
                          "prompt path")
     ap.add_argument("--language", default=None,
                     help="long-form: language code (default: detect)")
+    ap.add_argument("--cross_kv_int8", action="store_true",
+                    help="int8 precomputed cross-KV (kernel path only)")
     args = ap.parse_args()
 
     from agacs_tpu.data.io import read_wav
@@ -40,6 +42,18 @@ def main():
         load_yaml(args.config), compute_dtype=getattr(jnp, args.compute_dtype)
     )
     assert task.kind == "whisper", "use bin/decode for the conformer family"
+    if args.cross_kv_int8:
+        import dataclasses
+
+        task = dataclasses.replace(
+            task,
+            cfg=dataclasses.replace(
+                task.cfg,
+                whisper=dataclasses.replace(
+                    task.cfg.whisper, cross_kv_int8=True
+                ),
+            ),
+        )
     params = load_pytree_like(
         args.params, task.init_fn(jax.random.PRNGKey(0), task.cfg)
     )
