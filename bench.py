@@ -215,11 +215,19 @@ def _bench_inference():
         enc = enc_fn(params, feats)
         fetch(enc)
         fetch(fn(enc))  # compile + warm
+        # dispatch is async through the tunnel but every fetch pays a
+        # ~30 ms RPC round-trip (measured round 3); amortize it over K
+        # back-to-back decodes so the number reflects device time like
+        # the training matrix does (earlier rounds' serving numbers
+        # carried the full RPC per batch — docs/PERF.md round-3)
+        reps = 5
         ts = []
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
-            fetch(fn(enc))
-            ts.append(time.perf_counter() - t0)
+            rs = [fn(enc) for _ in range(reps)]
+            for r in rs:
+                fetch(r)
+            ts.append((time.perf_counter() - t0) / reps)
         out[name] = {
             "ms_per_batch": round(min(ts) * 1e3, 1),
             "x_realtime": round(b * sec / min(ts), 0),
