@@ -98,8 +98,18 @@ class WhisperConfig:
     # ~15 ms/step of pure data movement at B=8x15 s (xplane: the
     # bitcast_dynamic-update-slice fusions). Unrolled, saved residuals
     # stay as separate buffers and param reads are static slices. Costs
-    # compile time (~12x body count); scan remains the default.
-    unroll_layers: bool = False
+    # compile time (~12x body count).
+    #
+    # Accepts False (scan both stacks), True (unroll both), or
+    # "encoder"/"decoder" (unroll only that stack). "encoder" is the
+    # measured sweet spot for training: the encoder backward scan is
+    # 46.9 ms of the 105.5 ms B=16x15 s step, ~13 ms of which is a
+    # ~1.08 ms/layer sync-flag stall on a 6 KB bias slice plus
+    # stacked-param slice DMA traffic (xplane round-3 forensics,
+    # docs/PERF.md). unroll_layers="encoder": 103.4 -> 91.4 ms/step
+    # (MFU 0.44 -> 0.49) at a one-off 118 s compile; "decoder" alone
+    # was measured a wash (-2 ms for a 319 s compile).
+    unroll_layers: bool | str = False
 
     def part(self, which: str) -> "WhisperConfig":
         """Effective config for 'encoder' or 'decoder' blocks: resolves the
@@ -245,6 +255,12 @@ def _maybe_remat(fn, remat):
             ),
         )
     return jax.checkpoint(fn)
+
+
+def _unroll_for(cfg, which: str) -> bool:
+    """Resolve cfg.unroll_layers (bool or "encoder"/"decoder") for a stack."""
+    u = cfg.unroll_layers
+    return u is True or u == which
 
 
 def _scan_blocks(body, x, blocks, unroll: bool):
@@ -647,7 +663,7 @@ def whisper_encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Ar
         h = block_fn(carry, layer_params)
         return h, (h if side is not None else 0)
 
-    x, layer_outs = _scan_blocks(body, x, enc["blocks"], cfg.unroll_layers)
+    x, layer_outs = _scan_blocks(body, x, enc["blocks"], _unroll_for(cfg, "encoder"))
 
     out = layer_norm(x, enc["ln_post"])
 
@@ -745,7 +761,7 @@ def whisper_decode(
     def body(carry, layer_params):
         return block_fn(carry, layer_params)
 
-    x, layer_aux = _scan_blocks(body, x, dec["blocks"], cfg.unroll_layers)
+    x, layer_aux = _scan_blocks(body, x, dec["blocks"], _unroll_for(cfg, "decoder"))
 
     if cfg.side_network is not None:
         # the side ladder replaces the trunk output head
@@ -796,7 +812,7 @@ def _decoder_side_fwd(params, cfg, tokens, xa):
         )
         return h, h
 
-    _, layer_outs = _scan_blocks(body, x, dec["blocks"], cfg.unroll_layers)
+    _, layer_outs = _scan_blocks(body, x, dec["blocks"], _unroll_for(cfg, "decoder"))
 
     side_cfg = dataclasses.replace(
         cfg, adapter=False, pe_attention=False,

@@ -97,6 +97,10 @@ def model_config_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> ASRMod
     whisper = make_config(
         model_size,
         remat=enc_conf.get("remat", "dots_nb"),
+        # "encoder" unrolls the encoder layer scan: -12% step at 16x15 s
+        # for a one-off per-shape compile cost (docs/PERF.md round 3);
+        # scan (False) stays the default for short runs / CI.
+        unroll_layers=enc_conf.get("unroll_layers", False),
         adapter=bool(enc_conf.get("adapter", False) or dec_conf.get("adapter", False)),
         pe_attention=bool(
             enc_conf.get("pe_whisper", False) or dec_conf.get("pe_whisper", False)

@@ -64,11 +64,13 @@ def whisper_fwd_flops(b: int, seconds: int, t_text: int = 33,
     return 2.0 * macs * b
 
 # (batch, seconds, remat): the legacy headline shape + batch_bins-realistic
-# packs, each with its measured-best remat policy (docs/PERF.md round-2
-# table: dots_nb wins at 15 s, full at the largest 5 s pack)
+# packs. dots_nb + encoder-unroll is the measured winner at EVERY shape
+# (docs/PERF.md round-3 "encoder backward stall forensics" table; it
+# also retires round-2's "full remat at the largest 5 s pack" rule).
 SHAPES = [(8, 15, "dots_nb"), (16, 15, "dots_nb"),
-          (32, 5, "dots_nb"), (64, 5, "full"),
+          (32, 5, "dots_nb"), (64, 5, "dots_nb"),
           (8, 30, "dots_nb")]  # full 30 s context (q-chunked flash kernel)
+UNROLL = "encoder"
 STEPS = 10
 
 
@@ -109,7 +111,8 @@ def main():
     for batch_size, seconds, remat in SHAPES:
         cfg = ASRModelConfig(
             whisper=make_config("small", adapter=True,
-                                compute_dtype=jnp.bfloat16, remat=remat),
+                                compute_dtype=jnp.bfloat16, remat=remat,
+                                unroll_layers=UNROLL),
             cs_weight=0.01,
             use_specaug=True,
         )

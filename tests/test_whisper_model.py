@@ -238,3 +238,28 @@ def test_conv1d_matmul_matches_lax_conv():
             assert got.shape == ref.shape
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("unroll", [True, "encoder", "decoder"])
+def test_unroll_layers_matches_scan(unroll):
+    """cfg.unroll_layers (bool or per-stack str) is bit-identical to scan."""
+    import dataclasses
+
+    cfg = WhisperConfig(**TINY, adapter=True)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(7)
+    mel = jnp.asarray(rng.randn(2, 40, 80).astype(np.float32))
+    tokens = jnp.asarray([[3, 5, 7, 2, 9], [1, 4, 6, 8, 0]], dtype=jnp.int32)
+
+    ucfg = dataclasses.replace(cfg, unroll_layers=unroll)
+    enc = whisper_encode(params, cfg, mel)
+    enc_u = whisper_encode(params, ucfg, mel)
+    np.testing.assert_array_equal(np.asarray(enc), np.asarray(enc_u))
+
+    logits, aux = whisper_decode(params, cfg, tokens, enc,
+                                 collect_lang_cols=True)
+    logits_u, aux_u = whisper_decode(params, ucfg, tokens, enc,
+                                     collect_lang_cols=True)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits_u))
+    np.testing.assert_array_equal(np.asarray(aux["qk_cols"]),
+                                  np.asarray(aux_u["qk_cols"]))

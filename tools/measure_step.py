@@ -20,7 +20,8 @@ def main():
     ap.add_argument("--seconds", type=int, default=15)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--remat", default="dots_nb")
-    ap.add_argument("--unroll", action="store_true")
+    ap.add_argument("--unroll", nargs="?", const="all", default="none",
+                    choices=["none", "all", "encoder", "decoder"])
     ap.add_argument("--donate", action="store_true")
     ap.add_argument("--fp32_frozen", action="store_true",
                     help="keep frozen trunk in fp32 (default: bf16 storage)")
@@ -46,7 +47,9 @@ def main():
     cfg = ASRModelConfig(
         whisper=make_config(
             "small", adapter=True, compute_dtype=jnp.bfloat16,
-            remat=args.remat, unroll_layers=args.unroll,
+            remat=args.remat,
+            unroll_layers={"none": False, "all": True}.get(
+                args.unroll, args.unroll),
             attention_backend=args.attn,
         ),
         cs_weight=0.01,
