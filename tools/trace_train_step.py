@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--seconds", type=int, default=15)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat", default="dots_nb")
+    ap.add_argument("--unroll", nargs="?", const="all", default="none",
+                    choices=["none", "all", "encoder", "decoder"])
     ap.add_argument("--out", default="/tmp/agacs_trace")
     ap.add_argument("--donate", action="store_true")
     args = ap.parse_args()
@@ -42,7 +44,9 @@ def main():
 
     cfg = ASRModelConfig(
         whisper=make_config(
-            "small", adapter=True, compute_dtype=jnp.bfloat16, remat=args.remat
+            "small", adapter=True, compute_dtype=jnp.bfloat16, remat=args.remat,
+            unroll_layers={"none": False, "all": True}.get(
+                args.unroll, args.unroll),
         ),
         cs_weight=0.01,
         use_specaug=True,
