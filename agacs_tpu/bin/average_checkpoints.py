@@ -28,6 +28,7 @@ def main(argv: list[str] | None = None) -> dict:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
     acc: dict[str, np.ndarray] = {}
+    dtypes: dict[str, np.dtype] = {}
     keys = None
     for path in args.inputs:
         data = np.load(path)
@@ -41,8 +42,15 @@ def main(argv: list[str] | None = None) -> dict:
         for k in data.files:
             arr = data[k].astype(np.float64)
             acc[k] = acc.get(k, 0.0) + arr
-    out = {k: (v / len(args.inputs)).astype(np.float32)
-           for k, v in acc.items()}
+            dtypes.setdefault(k, data[k].dtype)
+    # integer leaves (int8 quantized trunk, counters) keep their dtype:
+    # frozen across snapshots, the rounded mean is the value itself
+    out = {
+        k: (np.round(v / len(args.inputs)).astype(dtypes[k])
+            if np.issubdtype(dtypes[k], np.integer)
+            else (v / len(args.inputs)).astype(np.float32))
+        for k, v in acc.items()
+    }
     np.savez(args.output, **out)
     logging.info("averaged %d checkpoints (%d leaves) -> %s",
                  len(args.inputs), len(out), args.output)

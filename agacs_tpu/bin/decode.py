@@ -381,10 +381,22 @@ def main(argv: list[str] | None = None) -> dict:
             argv if argv is not None else os.sys.argv[1:],
         )
 
+    cfg_dict = load_yaml(args.config)
     task = task_from_dict(
-        load_yaml(args.config), compute_dtype=getattr(jnp, args.compute_dtype)
+        cfg_dict, compute_dtype=getattr(jnp, args.compute_dtype)
     )
     params = task.init_fn(jax.random.PRNGKey(0), task.cfg)
+    if cfg_dict.get("freeze_quant") == "int8" and cfg_dict.get("freeze_param"):
+        # int8-trained checkpoints store the frozen trunk as {w_q, w_s}
+        # (trainer.quantize_frozen_linears) — mirror that structure in the
+        # template so names/dtypes line up; decode then runs the trunk on
+        # the MXU int8 path too.
+        from agacs_tpu.train.freeze import trainable_mask
+        from agacs_tpu.train.trainer import quantize_frozen_linears
+
+        params = quantize_frozen_linears(
+            params, trainable_mask(params, cfg_dict["freeze_param"])
+        )
     params = load_pytree_like(args.params, params)
 
     ds = ASRDataset(args.data_dir, with_cs_labels=False)

@@ -313,6 +313,18 @@ def main(argv: list[str] | None = None) -> dict:
         from agacs_tpu.train.trainer import cast_frozen_params
 
         params = cast_frozen_params(params, mask)
+    if freeze and tcfg.freeze_quant == "int8":
+        # frozen trunk linears on the MXU int8 path (W8A8; ~2x bf16 peak,
+        # docs/PERF.md). Changes the pytree, so rebuild optimizer + mask.
+        from agacs_tpu.train.trainer import quantize_frozen_linears
+
+        params = quantize_frozen_linears(params, mask)
+        tx, mask = build_tx(params, optim_cfg, freeze_preset=freeze)
+        logging.info("freeze_quant=int8: frozen trunk linears quantized")
+    elif tcfg.freeze_quant not in (None, "none"):
+        raise ValueError(f"unknown freeze_quant {tcfg.freeze_quant!r}"
+                         if tcfg.freeze_quant != "int8"
+                         else "freeze_quant=int8 requires freeze_param")
     n_train, n_total = count_trainable(params, mask)
     logging.info(
         "freeze_param=%s: %.2fM / %.2fM trainable",

@@ -171,7 +171,15 @@ def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
 
 
 def linear(x: jax.Array, p: Params) -> jax.Array:
-    """x @ w (+ b). Weights stored (in, out) — transposed from torch."""
+    """x @ w (+ b). Weights stored (in, out) — transposed from torch.
+
+    When the param dict carries an int8-quantized weight ({"w_q", "w_s"}
+    from `trainer.quantize_frozen_linears`) the matmul runs on the MXU's
+    int8 path instead (ops/int8_linear.py)."""
+    if "w_q" in p:
+        from agacs_tpu.ops.int8_linear import int8_linear
+
+        return int8_linear(x, p)
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
@@ -246,12 +254,15 @@ def _maybe_remat(fn, remat):
         # packed flash kernel's output is additionally named saveable:
         # without it the whole fwd kernel re-runs in backward just to
         # regenerate the (B, T, D) residual `o` (ops/flash_train.py).
+        # int8_linear_out: quantized trunk linears are custom_vjp calls,
+        # opaque to the dots policy — name-save their bf16 outputs so the
+        # saved set matches the bf16 trunk's (ops/int8_linear.py).
         return jax.checkpoint(
             fn,
             policy=jax.checkpoint_policies.save_from_both_policies(
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 jax.checkpoint_policies.save_only_these_names(
-                    "flash_attn_out"),
+                    "flash_attn_out", "int8_linear_out"),
             ),
         )
     return jax.checkpoint(fn)

@@ -85,6 +85,66 @@ def cast_frozen_params(params: Any, mask: Any, dtype=jnp.bfloat16) -> Any:
     )
 
 
+# Linear weights eligible for frozen-trunk int8 quantization, by param-dict
+# name: the whisper/conformer block projections. NOT adapters/side nets
+# (trainable under their presets, tiny otherwise), NOT token_emb (logits
+# quality), NOT the conv stem (ndim-3, a few GFLOP).
+QUANT_LINEAR_KEYS = frozenset(
+    {"query", "key", "value", "out", "fc1", "fc2", "query_cs", "key_cs"}
+)
+
+
+def quantize_frozen_linears(params: Any, mask: Any) -> Any:
+    """Per-output-channel int8 quantization of FROZEN trunk linears.
+
+    Replaces each frozen {"w": (..., in, out)} under a QUANT_LINEAR_KEYS
+    name with {"w_q" int8, "w_s" f32[..., out]} (ops/int8_linear.py);
+    `linear()` dispatches on key presence, so model code is untouched.
+    Rebuild the optimizer/mask from the returned tree (the pytree
+    structure changes). Trainable leaves and every non-linear param are
+    passed through unchanged.
+    """
+    from agacs_tpu.ops.int8_linear import quantize_weight
+
+    def rec(p, m, name):
+        if isinstance(p, dict):
+            if (
+                name in QUANT_LINEAR_KEYS
+                and "w" in p
+                and hasattr(p["w"], "ndim")
+                and p["w"].ndim >= 2
+                and jnp.issubdtype(p["w"].dtype, jnp.floating)
+                and not m["w"]
+            ):
+                w_q, w_s = quantize_weight(p["w"])
+                out = {"w_q": w_q, "w_s": w_s}
+                if "b" in p:
+                    out["b"] = p["b"]
+                return out
+            return {k: rec(v, m[k], k) for k, v in p.items()}
+        return p
+
+    return rec(params, mask, "")
+
+
+def dequantize_params(params: Any) -> Any:
+    """Inverse of quantize_frozen_linears (for export/interop): every
+    {"w_q", "w_s"} dict becomes {"w": f32 dequantized}."""
+    from agacs_tpu.ops.int8_linear import dequantize_weight
+
+    def rec(p):
+        if isinstance(p, dict):
+            if "w_q" in p:
+                out = {"w": dequantize_weight(p["w_q"], p["w_s"])}
+                if "b" in p:
+                    out["b"] = p["b"]
+                return out
+            return {k: rec(v) for k, v in p.items()}
+        return p
+
+    return rec(params)
+
+
 def make_train_step(
     cfg: ASRModelConfig,
     tx: optax.GradientTransformation,
@@ -100,23 +160,50 @@ def make_train_step(
     are averaged over microbatches — same effective update as the
     reference's loss/accum_grad backward accumulation (trainer.py:628).
 
-    `trainable_mask` (the build_tx mask) cuts the VJP at frozen leaves via
-    stop_gradient so XLA never computes their weight grads at all — with
-    remat + adapter-only tuning this removes ~250 MB/step of grad math that
-    the optax zero-mask would otherwise only discard after the fact.
+    `trainable_mask` (the build_tx mask) restricts the VJP to the
+    trainable leaves: params are partitioned and only the trainable part
+    is differentiated, so XLA never computes frozen weight grads at all —
+    with remat + adapter-only tuning this removes ~250 MB/step of grad
+    math that the optax zero-mask would otherwise only discard after the
+    fact. (Partitioning rather than stop_gradient also keeps int8
+    quantized-trunk leaves — `quantize_frozen_linears` — out of the
+    autodiff machinery entirely: jax.grad rejects integer-dtype inputs.
+    Frozen slots come back as f32 zeros so the optax chain is unchanged.)
     """
     fwd = loss_fn or asr_model.forward
 
-    def loss_and_stats(params, batch, rng):
-        if trainable_mask is not None:
-            params = jax.tree.map(
-                lambda p, m: p if m else jax.lax.stop_gradient(p),
-                params, trainable_mask,
-            )
-        loss, stats = fwd(params, cfg, batch, train=True, rng=rng)
-        return loss, stats
+    mask_leaves = (
+        tuple(jax.tree.leaves(trainable_mask))
+        if trainable_mask is not None else None
+    )
 
-    grad_fn = jax.value_and_grad(loss_and_stats, has_aux=True)
+    def grad_fn(params, batch, rng):
+        """((loss, stats), full-tree grads), differentiating only the
+        trainable leaves when a freeze mask is given."""
+        if mask_leaves is None:
+            def loss_and_stats(p):
+                return fwd(p, cfg, batch, train=True, rng=rng)
+
+            return jax.value_and_grad(loss_and_stats, has_aux=True)(params)
+
+        leaves, treedef = jax.tree.flatten(params)
+
+        def loss_and_stats(diff):
+            it = iter(diff)
+            full = treedef.unflatten(
+                [next(it) if m else p for p, m in zip(leaves, mask_leaves)]
+            )
+            return fwd(full, cfg, batch, train=True, rng=rng)
+
+        diff = [p for p, m in zip(leaves, mask_leaves) if m]
+        loss_stats, dgrads = jax.value_and_grad(
+            loss_and_stats, has_aux=True)(diff)
+        it = iter(dgrads)
+        grads = treedef.unflatten(
+            [next(it) if m else jnp.zeros(p.shape, jnp.float32)
+             for p, m in zip(leaves, mask_leaves)]
+        )
+        return loss_stats, grads
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
         rng, new_rng = jax.random.split(state.rng)

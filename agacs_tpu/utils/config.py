@@ -46,6 +46,9 @@ class TrainerConfig:
     log_interval: int = 100
     patience: int | None = None
     freeze_param: str | None = None
+    # int8-quantize the FROZEN trunk linears (W8A8 on the MXU's int8 path,
+    # ~2x bf16 matmul peak; trainer.quantize_frozen_linears). "int8" or None.
+    freeze_quant: str | None = None
     init_param: str | None = None
     num_workers: int = 0
 
@@ -164,6 +167,7 @@ def trainer_config_from_dict(d: dict) -> TrainerConfig:
         log_interval=int(d.get("log_interval", 100)),
         patience=d.get("patience") if d.get("patience") not in ("none", None) else None,
         freeze_param=d.get("freeze_param"),
+        freeze_quant=d.get("freeze_quant"),
         init_param=d.get("init_param"),
     )
 

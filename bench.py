@@ -67,9 +67,12 @@ def whisper_fwd_flops(b: int, seconds: int, t_text: int = 33,
 # packs. dots_nb + encoder-unroll is the measured winner at EVERY shape
 # (docs/PERF.md round-3 "encoder backward stall forensics" table; it
 # also retires round-2's "full remat at the largest 5 s pack" rule).
-SHAPES = [(8, 15, "dots_nb"), (16, 15, "dots_nb"),
-          (32, 5, "dots_nb"), (64, 5, "dots_nb"),
-          (8, 30, "dots_nb")]  # full 30 s context (q-chunked flash kernel)
+SHAPES = [(8, 15, "dots_nb", False), (16, 15, "dots_nb", False),
+          (32, 5, "dots_nb", False), (64, 5, "dots_nb", False),
+          (8, 30, "dots_nb", False),  # full 30 s context (q-chunked kernel)
+          # int8 frozen trunk (W8A8, freeze_quant: int8) at the headline
+          # shape — docs/PERF.md round-3 int8-trunk section
+          (16, 15, "dots_nb", True)]
 UNROLL = "encoder"
 STEPS = 10
 
@@ -108,7 +111,7 @@ def main():
 
     matrix = {}
     best = (0.0, None)
-    for batch_size, seconds, remat in SHAPES:
+    for batch_size, seconds, remat, int8 in SHAPES:
         cfg = ASRModelConfig(
             whisper=make_config("small", adapter=True,
                                 compute_dtype=jnp.bfloat16, remat=remat,
@@ -123,6 +126,12 @@ def main():
         from agacs_tpu.train.trainer import cast_frozen_params
 
         params = cast_frozen_params(params, mask)  # bf16 frozen trunk
+        if int8:  # W8A8 frozen trunk on the MXU int8 path
+            from agacs_tpu.train.trainer import quantize_frozen_linears
+
+            params = quantize_frozen_linears(params, mask)
+            tx, mask = build_tx(params, OptimConfig(warmup_steps=500),
+                                freeze_preset="adapter")
         step = make_train_step(cfg, tx, trainable_mask=mask, donate=False)
         batch = _make_batch(batch_size, seconds)
         state = create_train_state(params, tx, jax.random.PRNGKey(1))
@@ -148,7 +157,7 @@ def main():
         assert np.isfinite(final_loss)
 
         audio_per_s = batch_size * seconds / dt
-        key = f"{batch_size}x{seconds}s"
+        key = f"{batch_size}x{seconds}s" + ("_int8" if int8 else "")
         matrix[key] = {
             "ms_per_step": round(dt * 1e3, 1),
             "audio_sec_per_s": round(audio_per_s, 1),

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "flash", "einsum"],
                     help="attention backend (ops/attention.fused_mha)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-quantize the frozen trunk linears (W8A8)")
+    ap.add_argument("--int8_bwd", default="int8", choices=["int8", "bf16"],
+                    help="dgrad path for quantized linears")
     args = ap.parse_args()
 
     from agacs_tpu.utils.runtime import setup as runtime_setup
@@ -61,6 +65,14 @@ def main():
         from agacs_tpu.train.trainer import cast_frozen_params
 
         params = cast_frozen_params(params, mask)
+    if args.int8:
+        from agacs_tpu.ops import int8_linear as i8
+        from agacs_tpu.train.trainer import quantize_frozen_linears
+
+        i8.BWD_INT8 = args.int8_bwd == "int8"
+        params = quantize_frozen_linears(params, mask)
+        tx, mask = build_tx(params, OptimConfig(warmup_steps=500),
+                            freeze_preset="adapter")
     step = make_train_step(cfg, tx, trainable_mask=mask, donate=args.donate)
     batch = _make_batch(args.batch, args.seconds)
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
@@ -82,7 +94,7 @@ def main():
     flops = 3.0 * whisper_fwd_flops(args.batch, args.seconds)
     print(
         f"B{args.batch}x{args.seconds}s remat={args.remat} unroll={args.unroll} "
-        f"donate={args.donate}: {dt * 1e3:.1f} ms/step, "
+        f"donate={args.donate} int8={args.int8}: {dt * 1e3:.1f} ms/step, "
         f"{args.batch * args.seconds / dt:.0f} audio-sec/s, "
         f"MFU {flops / dt / V5E_PEAK_BF16_FLOPS:.3f}"
     )
