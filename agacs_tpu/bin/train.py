@@ -191,6 +191,12 @@ def main(argv: list[str] | None = None) -> dict:
 
         tcfg = dataclasses.replace(tcfg, batch_bins=args.batch_bins)
     freeze = args.freeze_param or tcfg.freeze_param
+    if freeze:
+        # record the RESOLVED freeze in the dumped config: decode rebuilds
+        # the int8 param template from config.yaml's freeze_param +
+        # freeze_quant (bin/decode.py), which a CLI-only --freeze_param
+        # would otherwise leave out.
+        raw = {**raw, "freeze_param": freeze}
 
     os.makedirs(args.exp_dir, exist_ok=True)
     if jax.process_index() == 0:

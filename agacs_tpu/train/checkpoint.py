@@ -310,6 +310,14 @@ class CheckpointManager:
                     lambda a, x: a + np.asarray(x, np.float32), acc, p
                 )
         avg = jax.tree.map(lambda a: a / len(eps), acc)
+        # integer leaves (int8 quantized trunk) keep their dtype: frozen
+        # across snapshots, the rounded mean is the value itself (mirrors
+        # bin/average_checkpoints.py)
+        avg = jax.tree.map(
+            lambda a, t: np.round(a).astype(t.dtype)
+            if np.issubdtype(np.asarray(t).dtype, np.integer) else a,
+            avg, template,
+        )
         phase, metric, _ = self.criterion
         if self._primary:
             out = os.path.join(

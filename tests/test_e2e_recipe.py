@@ -221,3 +221,48 @@ def test_orbax_checkpoint_backend(tmp_path):
     # n-best averaging writes the portable npz artifact
     avg = mgr.average_nbest(history, state.params)
     assert (tmp_path / "valid.acc.ave.params.npz").exists()
+
+
+def test_int8_trunk_cli_roundtrip(recipe_dir, tmp_path):
+    """freeze_quant: int8 through the CLIs: train quantizes the frozen
+    trunk (W8A8, trainer.quantize_frozen_linears), the npz checkpoint
+    stores int8 leaves, and decode rebuilds the quantized template from
+    the saved config.yaml — including when --freeze_param came from the
+    CLI rather than the config (train.main records the resolved value)."""
+    import numpy as np
+
+    from agacs_tpu.bin import decode, train
+
+    conf = dict(TINY_CONF, max_epoch=1, freeze_quant="int8")
+    conf_path = tmp_path / "train_int8.yaml"
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+    exp = str(tmp_path / "exp_int8")
+    out = train.main([
+        "--config", str(conf_path),
+        "--train_dir", str(recipe_dir / "data/train"),
+        "--valid_dir", str(recipe_dir / "data/valid"),
+        "--exp_dir", exp,
+        "--freeze_param", "adapter",  # CLI-only on purpose
+        "--compute_dtype", "float32",
+    ])
+    assert np.isfinite(out["history"][1]["train"]["loss"])
+    saved = yaml.safe_load(open(os.path.join(exp, "config.yaml")))
+    assert saved["freeze_param"] == "adapter"  # resolved CLI value recorded
+    assert saved["freeze_quant"] == "int8"
+    ckpt = np.load(os.path.join(exp, "valid.acc.ave.params.npz"))
+    int8_keys = [k for k in ckpt.files if k.endswith("w_q")]
+    assert int8_keys and all(ckpt[k].dtype == np.int8 for k in int8_keys)
+
+    dec_dir = str(tmp_path / "decode_int8")
+    dec = decode.main([
+        "--config", os.path.join(exp, "config.yaml"),
+        "--params", os.path.join(exp, "valid.acc.ave.params.npz"),
+        "--data_dir", str(recipe_dir / "data/valid"),
+        "--output_dir", dec_dir,
+        "--beam_size", "1",
+        "--max_steps", "8",
+        "--compute_dtype", "float32",
+    ])
+    assert os.path.exists(os.path.join(dec_dir, "hyp.trn"))
+    assert dec["rtf"]["rtf"] > 0
