@@ -26,6 +26,8 @@ def main():
                     choices=["none", "all", "encoder", "decoder"])
     ap.add_argument("--out", default="/tmp/agacs_trace")
     ap.add_argument("--donate", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-quantize the frozen trunk linears (W8A8)")
     args = ap.parse_args()
 
     from agacs_tpu.utils.runtime import setup as runtime_setup
@@ -53,6 +55,12 @@ def main():
     )
     params = init_asr_params(jax.random.PRNGKey(0), cfg)
     tx, mask = build_tx(params, OptimConfig(warmup_steps=500), freeze_preset="adapter")
+    if args.int8:
+        from agacs_tpu.train.trainer import quantize_frozen_linears
+
+        params = quantize_frozen_linears(params, mask)
+        tx, mask = build_tx(params, OptimConfig(warmup_steps=500),
+                            freeze_preset="adapter")
     step = make_train_step(cfg, tx, trainable_mask=mask, donate=args.donate)
     batch = _make_batch(args.batch, args.seconds)
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
