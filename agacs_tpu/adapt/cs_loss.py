@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from agacs_tpu.text.tokenizer import WhisperTokenizer
@@ -68,6 +69,7 @@ def attention_target_labels(
     ys_in: np.ndarray,
     tokenizer: WhisperTokenizer,
     prompt_len: int = 5,
+    mode: str = "attention",
 ) -> np.ndarray:
     """Per-row language labels for a batch of decoder input ids.
 
@@ -76,27 +78,38 @@ def attention_target_labels(
         passes `ys_in_pad`, espnet_model.py:945), eos-padded.
       tokenizer: for id→token-string conversion (language attribution).
       prompt_len: rows reserved for the prompt (espnet_model.py:241).
+      mode: "attention" (shipped `create_attention_pattern` semantics,
+        espnet_model.py:236-275) or "lid_ce" (the `getlid` semantics of
+        the alternative CE loss, espnet_model.py:364-390: prompt
+        [inf,zh,en,inf,inf], space-only tokens count as ENGLISH, the
+        first <|endoftext|> is masked instead of labeled BOTH).
 
-    Returns (B, T) int8 labels. Row i<prompt_len gets the fixed prompt
-    labels [NONE, ZH, EN, NONE, NONE]; the first <|endoftext|> gets BOTH
-    and everything after it PAD (espnet_model.py:246-258).
+    Returns (B, T) int8 labels. In "attention" mode row i<prompt_len gets
+    the fixed prompt labels [NONE, ZH, EN, NONE, NONE]; the first
+    <|endoftext|> gets BOTH and everything after it PAD
+    (espnet_model.py:246-258).
     """
     ys_in = np.asarray(ys_in)
     b, t = ys_in.shape
+    lid = mode == "lid_ce"
     labels = np.full((b, t), LANG_PAD, dtype=np.int8)
-    prompt_labels = [LANG_NONE, LANG_ZH, LANG_EN, LANG_NONE, LANG_NONE]
+    if lid:
+        prompt_labels = [LANG_PAD, LANG_ZH, LANG_EN, LANG_PAD, LANG_PAD]
+    else:
+        prompt_labels = [LANG_NONE, LANG_ZH, LANG_EN, LANG_NONE, LANG_NONE]
     eot = tokenizer.special.eot
     for i in range(b):
         labels[i, : min(prompt_len, t)] = prompt_labels[: min(prompt_len, t)]
         for j in range(prompt_len, t):
             tid = int(ys_in[i, j])
             if tid == eot:
-                labels[i, j] = LANG_BOTH
+                if not lid:
+                    labels[i, j] = LANG_BOTH
                 break
             tok = tokenizer.id_to_token(tid)
             stripped = tok.replace("Ġ", "")
             if stripped == "":
-                labels[i, j] = LANG_BOTH
+                labels[i, j] = LANG_EN if lid else LANG_BOTH
             elif WhisperTokenizer.token_is_english(tok):
                 labels[i, j] = LANG_EN
             else:
@@ -178,5 +191,64 @@ def cs_attention_loss(
     # we guard the 0 case to keep training finite.
     per_head = jnp.where(nonzero > 0, total / jnp.maximum(nonzero, 1.0), 0.0)
 
+    masked = per_head * head_mask[None, :, :].astype(per_head.dtype)
+    return jnp.mean(jnp.sum(masked, axis=(-1, -2)))
+
+
+def cs_lid_ce_loss(
+    maps: jnp.ndarray,
+    labels: jnp.ndarray,
+    ys_in_lens: jnp.ndarray,
+    head_mask: jnp.ndarray,
+    lsm_weight: float = 0.1,
+) -> jnp.ndarray:
+    """The alternative lid-CE CS loss (`calculate_cs_loss_lid_ce`,
+    espnet_model.py:364-461 — dead code in the reference, its call is
+    commented out at :946; available here behind `cs_loss_type: lid_ce`
+    so the only reference CS-loss family member without an equivalent is
+    covered).
+
+    Per selected head, each valid decoder row's self-attention logits are
+    treated as a distribution over key columns and pushed (label-smoothed
+    CE, eps=0.1) toward the row's OWN language-token column (1 for
+    Mandarin, 2 for English). Unlike the shipped MSE loss this needs the
+    full softmax denominator, i.e. full (T, T) maps — use the shipped
+    column loss for speed; this variant exists for behavioral parity.
+
+    Replicated semantics:
+      * -inf (and +inf) map entries are replaced by logit 0 BEFORE the
+        softmax (espnet_model.py:414-415: `attention_maps[mask] = 0`).
+      * valid rows: label is zh/en AND row < ys_in_len - 1
+        (espnet_model.py:434-452: mask_sequence_length on
+        `ground_truth_len - 1` x the {0,3,4} prompt-index mask — rows
+        0/3/4 are already PAD in lid-mode labels).
+      * per-head row-sum (nansum), head mask, sum over (layer, head),
+        mean over batch (espnet_model.py:457-461).
+
+    Args:
+      maps: (L, B, h, T, T) pre-softmax self-attn logits with -inf causal
+        mask (whisper_decode(collect_full_maps=True) -> aux["maps"]).
+      labels: (B, T) labels from attention_target_labels(mode="lid_ce").
+      ys_in_lens: (B,) int32 lengths of ys_in (text_len + 1).
+      head_mask: (L, h) 0/1 float - selected heads (the reference applies
+        the same hardcoded 50% mask as the shipped loss, :448-460).
+    """
+    m = jnp.transpose(maps, (1, 0, 2, 3, 4)).astype(jnp.float32)
+    m = jnp.where(jnp.isinf(m), 0.0, m)
+    logp = jax.nn.log_softmax(m, axis=-1)  # over key columns
+    tcol = jnp.where(
+        labels == LANG_ZH, 1, jnp.where(labels == LANG_EN, 2, 0)
+    )  # (B, T)
+    nll = -jnp.take_along_axis(
+        logp, tcol[:, None, None, :, None], axis=-1
+    )[..., 0]  # (B, L, h, T)
+    smooth = -jnp.mean(logp, axis=-1)
+    ce = (1.0 - lsm_weight) * nll + lsm_weight * smooth
+    rows = jnp.arange(labels.shape[1])
+    valid = ((labels == LANG_ZH) | (labels == LANG_EN)) & (
+        rows[None, :] < (ys_in_lens[:, None] - 1)
+    )
+    ce = ce * valid[:, None, None, :].astype(ce.dtype)
+    per_head = jnp.sum(ce, axis=-1)  # (B, L, h)
     masked = per_head * head_mask[None, :, :].astype(per_head.dtype)
     return jnp.mean(jnp.sum(masked, axis=(-1, -2)))

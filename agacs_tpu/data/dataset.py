@@ -31,6 +31,7 @@ class ASRDataset:
         min_samples: int = 0,
         max_samples: int = 30 * 16000,
         with_cs_labels: bool = True,
+        cs_label_mode: str = "attention",
         augment=None,
     ):
         self.wav = read_scp(os.path.join(data_dir, "wav.scp"))
@@ -47,6 +48,8 @@ class ASRDataset:
         self.converter = WhisperTokenIdConverter(self.tokenizer)
         self.cleaner = TextCleaner(cleaner) if cleaner else None
         self.with_cs_labels = with_cs_labels
+        # "attention" (shipped loss) or "lid_ce" (cs_loss_type: lid_ce)
+        self.cs_label_mode = cs_label_mode
         # optional on-the-fly RIR/noise augmentation (data/augment.py),
         # applied per utterance at read time like the reference's
         # CommonPreprocessor._speech_process (train datasets only)
@@ -125,7 +128,9 @@ class ASRDataset:
         item = {"utt_id": utt_id, "speech": speech, "text": ids}
         if self.with_cs_labels:
             ys_in = np.concatenate([[SOT], ids])[None, :]
-            item["cs_labels"] = attention_target_labels(ys_in, self.tokenizer)[0]
+            item["cs_labels"] = attention_target_labels(
+                ys_in, self.tokenizer, mode=self.cs_label_mode
+            )[0]
         return item
 
     def iter_utts(self) -> Iterator[dict]:

@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from agacs_tpu.adapt.cs_loss import REFERENCE_50PCT_HEAD_MASK, cs_attention_loss
+from agacs_tpu.adapt.cs_loss import (
+    REFERENCE_50PCT_HEAD_MASK,
+    cs_attention_loss,
+    cs_lid_ce_loss,
+)
 from agacs_tpu.models.whisper import (
     WhisperConfig,
     encoder_olens,
@@ -56,6 +60,12 @@ class ASRModelConfig:
     ctc_weight: float = 0.0
     interctc_weight: float = 0.0
     cs_weight: float = 0.0
+    # "attention" = the shipped column-MSE loss (espnet_model.py:463-530);
+    # "lid_ce" = the alternative label-smoothed CE over full attention rows
+    # (espnet_model.py:364-461, dead code in the reference). lid_ce needs
+    # full (T, T) maps and lid-mode cs_labels
+    # (attention_target_labels(mode="lid_ce")).
+    cs_loss_type: str = "attention"
     c_val_attention: float = 0.6
     head_percentage: float = 100.0
     lsm_weight: float = 0.1
@@ -154,13 +164,15 @@ def forward(
     ys_in, ys_out = add_sos_eos(text, cfg.sos, cfg.eos, cfg.ignore_id)
 
     collect = cfg.cs_weight != 0.0
+    lid_ce = collect and cfg.cs_loss_type == "lid_ce"
     logits, aux = whisper_decode(
         params,
         cfg.whisper,
         ys_in,
         enc_out,
         src_layer=cfg.src_layer - 1,
-        collect_lang_cols=collect,
+        collect_lang_cols=collect and not lid_ce,
+        collect_full_maps=lid_ce,
     )
 
     loss_att = label_smoothing_loss(
@@ -191,15 +203,22 @@ def forward(
         c_val = (
             params["estimated_c_val"][0] if cfg.estimate_c else cfg.c_val_attention
         )
-        loss_cs = cs_attention_loss(
-            aux["qk_cols"]
-            if not cfg.whisper.part("decoder").pe_attention
-            else aux["p_cols"],
-            batch["cs_labels"],
-            head_mask,
-            c_val,
-            layer_offset=cfg.src_layer - 1,
-        )
+        if lid_ce:
+            ys_in_lens = jnp.sum(text != cfg.ignore_id, axis=-1) + 1
+            loss_cs = cs_lid_ce_loss(
+                aux["maps"], batch["cs_labels"], ys_in_lens, head_mask,
+                lsm_weight=cfg.lsm_weight,
+            )
+        else:
+            loss_cs = cs_attention_loss(
+                aux["qk_cols"]
+                if not cfg.whisper.part("decoder").pe_attention
+                else aux["p_cols"],
+                batch["cs_labels"],
+                head_mask,
+                c_val,
+                layer_offset=cfg.src_layer - 1,
+            )
         # reference overwrites the ctc mix here (espnet_model.py:694)
         loss = cfg.cs_weight * loss_cs + loss_att
         stats["loss_cs"] = loss_cs

@@ -9,10 +9,13 @@ Matches the SEAME recipe config (`conf/tuning/train_asr_conformer.yaml`):
 d=256, heads=4, ffn 2048, 12 blocks, conv kernel 15, rel_pos/rel_selfattn,
 macaron, conv2d subsampling (T/4); decoder: 6 blocks, sinusoidal PE.
 
-Deviation (documented): the conv module uses layer norm where espnet uses
-BatchNorm1d (`espnet/nets/pytorch_backend/conformer/convolution.py`) —
-batch-stat plumbing is poor fit for a pure-functional step, and LN-conformers
-are standard practice. Revisit if parity runs demand it.
+The conv module's normalization is selectable via `conv_norm`: "layer"
+(TPU-native default — batch-stat plumbing is a poor fit for a pure-functional
+step, and LN-conformers are standard practice) or "batch", which replicates
+espnet's BatchNorm1d exactly (`espnet/nets/pytorch_backend/conformer/
+convolution.py`) including running-stat carry and the recalibration probe
+(`collect_bn_batch_stats` / `apply_bn_stats`); parity-tested vs the torch
+oracle in tests/test_conformer.py.
 """
 
 from __future__ import annotations

@@ -122,6 +122,7 @@ def model_config_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> ASRMod
         ctc_weight=float(model_conf.get("ctc_weight", 0.0)),
         interctc_weight=float(model_conf.get("interctc_weight", 0.0)),
         cs_weight=float(model_conf.get("cs_weight", 0.0)),
+        cs_loss_type=str(model_conf.get("cs_loss_type", "attention")),
         c_val_attention=float(model_conf.get("c_val_attention", 0.6)),
         head_percentage=float(model_conf.get("head_percentage", 100.0)),
         lsm_weight=float(model_conf.get("lsm_weight", 0.1)),
