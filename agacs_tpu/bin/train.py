@@ -103,8 +103,6 @@ def load_init_params(spec: str, params, cfg):
     if path.endswith(".pt") or path.endswith(".pth"):
         loaded, _ = load_torch_whisper(path, cfg.whisper)
         return loaded
-    if not (src or dst or exclude):
-        return load_pytree_like(path, params)
 
     import numpy as np
 
@@ -131,8 +129,28 @@ def load_init_params(spec: str, params, cfg):
     for kp, tmpl in flat:
         k = name(kp)
         skip = any(k == e or k.startswith(e + "/") for e in exclude)
-        if not skip and k in data and data[k].shape == tmpl.shape:
-            out.append(jax.numpy.asarray(data[k], dtype=tmpl.dtype))
+        arr = data.get(k) if not skip else None
+        if arr is not None and arr.dtype.kind == "V" and arr.dtype.itemsize == 2:
+            # legacy raw-saved bf16 leaf (see checkpoint.load_pytree_like)
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
+        if arr is not None and k.endswith("token_emb") \
+                and arr.shape[1:] == tmpl.shape[1:] \
+                and arr.shape[0] != tmpl.shape[0]:
+            # tp-padded vocab rows (parallel/mesh.pad_vocab_rows): adapt a
+            # padded checkpoint to an unpadded init or vice versa, instead
+            # of silently dropping the largest parameter via the
+            # ignore-mismatch fallback
+            if arr.shape[0] > tmpl.shape[0]:
+                arr = arr[: tmpl.shape[0]]
+            else:
+                arr = np.pad(
+                    arr, [(0, tmpl.shape[0] - arr.shape[0])]
+                    + [(0, 0)] * (arr.ndim - 1)
+                )
+        if arr is not None and arr.shape == tmpl.shape:
+            out.append(jax.numpy.asarray(arr, dtype=tmpl.dtype))
             n_loaded += 1
         else:
             out.append(tmpl)
@@ -216,10 +234,14 @@ def main(argv: list[str] | None = None) -> dict:
     # data
     from agacs_tpu.data.augment import augment_from_dict
 
+    # lid_ce CS loss consumes lid-mode labels (adapt/cs_loss.py getlid
+    # semantics) instead of the shipped attention-pattern labels
+    cs_mode = getattr(task.cfg, "cs_loss_type", "attention")
     train_ds = ASRDataset(
-        args.train_dir, augment=augment_from_dict(raw, seed=tcfg.seed)
+        args.train_dir, augment=augment_from_dict(raw, seed=tcfg.seed),
+        cs_label_mode=cs_mode,
     )
-    valid_ds = ASRDataset(args.valid_dir)
+    valid_ds = ASRDataset(args.valid_dir, cs_label_mode=cs_mode)
     from agacs_tpu.data.shapes import collect_num_samples
 
     train_lens = collect_num_samples(train_ds)

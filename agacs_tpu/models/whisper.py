@@ -782,6 +782,10 @@ def whisper_decode(
         x = layer_norm(x, dec["ln"])
 
     logits = jnp.dot(x, dec["token_emb"].T.astype(x.dtype)).astype(jnp.float32)
+    if dec["token_emb"].shape[0] > cfg.n_vocab:
+        # token_emb rows padded to a multiple of the tp model axis
+        # (parallel/mesh.py pad_vocab_rows); drop the pad logit columns
+        logits = logits[..., : cfg.n_vocab]
 
     aux: dict = {}
     if cols or collect_full_maps or collect_cross_maps:
@@ -1279,6 +1283,9 @@ def whisper_decode_step(
     else:
         x = layer_norm(x, dec["ln"])
     logits = jnp.dot(x[:, 0, :], dec["token_emb"].T.astype(x.dtype)).astype(jnp.float32)
+    if dec["token_emb"].shape[0] > cfg.n_vocab:
+        # tp-padded vocab rows (parallel/mesh.py pad_vocab_rows)
+        logits = logits[..., : cfg.n_vocab]
     return logits, new_kv
 
 

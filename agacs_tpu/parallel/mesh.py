@@ -112,35 +112,74 @@ def shard_batch(mesh: Mesh, batch: Any, process_local: bool | None = None) -> An
     return jax.tree.map(put, batch)
 
 
+# column-parallel targets: output (last) dim sharded, bias sharded too.
+_COL_W = (
+    "mlp.fc1.w",
+    "query.w", "key.w", "value.w", "query_cs.w", "key_cs.w",  # head parallel
+    ".down.w",                       # bottleneck adapter down-projection
+    "downsample_input.w", "downsample_encoder_input.w",
+    "downsample_layers.w",           # side-ladder downsamples
+    "conv1.w",                       # conv stem (k, 80, d): out channels
+)
+_COL_B = tuple(w[:-2] + ".b" for w in _COL_W)
+# row-parallel targets: input (second-to-last) dim sharded, bias replicated
+# (each consumes a column-parallel producer; XLA closes the pair with a
+# reduce over 'model').
+_ROW_W = (
+    "mlp.fc2.w",
+    "out.w",                         # attention output projection
+    ".up.w",                         # adapter up-projection
+    "upsample_output.w",             # side-ladder upsample
+    "conv2.w",                       # conv stem second conv: in channels
+)
+
+
 def param_sharding_rules(path: str, shape: tuple) -> P:
     """Tensor-parallel partition spec by parameter role.
 
-    Applied to '.'-joined pytree paths of the whisper model. Stacked-layer
-    params carry a leading layer axis, so the sharded dim shifts by one:
+    Applied to '.'-joined pytree paths of the whisper model. Rules are
+    shape-aware: stacked-layer params carry a leading layer axis, so the
+    sharded dim shifts by one. Col/row pairs:
 
-      mlp fc1 w   (L, d, 4d)   -> shard 4d  (column parallel)
-      mlp fc2 w   (L, 4d, d)   -> shard 4d  (row parallel)
-      attn q/k/v  (L, d, d)    -> shard out (head parallel)
-      attn out    (L, d, d)    -> shard in  (row parallel)
-      token_emb   (V, d)       -> shard V
-      everything else          -> replicated
+      mlp fc1 / fc2          (L, d, 4d) / (L, 4d, d)
+      attn q/k/v (+cs) / out (L, d, d) head-parallel / row-parallel
+      adapter down / up      (L, d, r) / (L, r, d)
+      side down* / upsample  (d, r) or (L, d, r) / (r, d)
+      conv1 / conv2          (k, 80, d) out-channel / (k, d, d) in-channel
+      token_emb              (V, d) -> shard V (rows padded to a multiple
+                             of the model axis by `shard_params`; the model
+                             slices the pad logit columns, whisper.py)
+      everything else        -> replicated
+
+    Not sharded (documented): the CTC head (d, V) — its pad columns would
+    perturb the CTC log-softmax and ctc_weight is 0 in every whisper
+    recipe; LayerNorm/gate/positional params (tiny).
     """
-    if path.endswith("mlp.fc1.w"):
-        return P(None, None, "model")
-    if path.endswith("mlp.fc1.b"):
-        return P(None, "model")
-    if path.endswith("mlp.fc2.w"):
-        return P(None, "model", None)
-    for role in ("query", "key", "value", "query_cs", "key_cs"):
-        if path.endswith(f"{role}.w"):
-            return P(None, None, "model")
-        if path.endswith(f"{role}.b"):
-            return P(None, "model")
-    if path.endswith("out.w"):
-        return P(None, "model", None)
+    nd = len(shape)
+    if path.endswith("upsample_output.w"):
+        return P(*([None] * (nd - 2) + ["model", None]))
+    if any(path.endswith(t) for t in _COL_W):
+        return P(*([None] * (nd - 1) + ["model"]))
+    if any(path.endswith(t) for t in _COL_B):
+        return P(*([None] * (nd - 1) + ["model"]))
+    if any(path.endswith(t) for t in _ROW_W):
+        return P(*([None] * (nd - 2) + ["model", None]))
     if path.endswith("token_emb"):
         return P("model", None)
     return P()
+
+
+def pad_vocab_rows(leaf, n_model: int):
+    """Zero-pad token_emb rows to a multiple of the model axis so the
+    largest parameter tp-shards despite the odd vocab (51865). The model
+    slices logits back to n_vocab (models/whisper.py); pad rows are never
+    indexed by token ids and receive zero gradients."""
+    v = leaf.shape[0]
+    pad = (-v) % n_model
+    if pad == 0:
+        return leaf
+    widths = [(0, pad)] + [(0, 0)] * (leaf.ndim - 1)
+    return np.pad(np.asarray(leaf), widths)
 
 
 def shard_params(mesh: Mesh, params: Any, tensor_parallel: bool = False) -> Any:
@@ -163,6 +202,10 @@ def shard_params(mesh: Mesh, params: Any, tensor_parallel: bool = False) -> Any:
         spec = param_sharding_rules(name(kp), leaf.shape) if tensor_parallel else P()
         if tensor_parallel and spec != P():
             n_model = mesh.shape["model"]
+            if name(kp).endswith("token_emb"):
+                # the one indivisible-by-design target: pad the odd vocab
+                # (51865) instead of dropping the rule (VERDICT r3 #4)
+                leaf = pad_vocab_rows(leaf, n_model)
             ok = all(
                 s is None or (leaf.shape[i] % n_model == 0)
                 for i, s in enumerate(spec)

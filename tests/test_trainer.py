@@ -260,10 +260,12 @@ def test_tp_sharding_applies_to_production_dims():
     # head-parallel qkv, row-parallel out
     assert spec_of(enc["attn"]["query"]["w"]) == (None, None, "model")
     assert spec_of(enc["attn"]["out"]["w"]) == (None, "model", None)
-    # the whisper vocab (51865) is odd: the divisibility guard correctly
-    # falls back to replication for the embedding
+    # the whisper vocab (51865) is odd: shard_params zero-pads the rows to
+    # a multiple of the model axis (pad_vocab_rows) and shards them; the
+    # model slices logits back to n_vocab (whisper.py)
     dec = params["decoder"]
-    assert spec_of(dec["token_emb"]) == ()
+    assert spec_of(dec["token_emb"]) == ("model", None)
+    assert dec["token_emb"].shape == (51866, 768)
     # shards actually live on distinct devices
     w = enc["mlp"]["fc1"]["w"]
     assert len({s.device for s in w.addressable_shards}) == 8
@@ -344,3 +346,32 @@ def test_checkpoint_bf16_roundtrip(tmp_path):
         np.asarray(legacy["frozen"], np.float32),
         np.asarray(tree["frozen"], np.float32),
     )
+
+
+def test_init_param_adapts_padded_token_emb(tmp_path):
+    """--init_param loading adapts tp-padded token_emb rows
+    (parallel/mesh.pad_vocab_rows) to the template instead of dropping
+    the largest parameter via the ignore-mismatch fallback."""
+    import numpy as np
+
+    from agacs_tpu.bin.train import load_init_params
+
+    tmpl = {"decoder": {"token_emb": jnp.zeros((7, 4), jnp.float32)},
+            "other": jnp.zeros((3,), jnp.float32)}
+
+    # padded checkpoint (8 rows) -> unpadded template (7): slice
+    padded = np.arange(32, dtype=np.float32).reshape(8, 4)
+    np.savez(tmp_path / "p.npz", **{"decoder/token_emb": padded,
+                                    "other": np.ones(3, np.float32)})
+    out = load_init_params(str(tmp_path / "p.npz"), tmpl, cfg=None)
+    np.testing.assert_array_equal(np.asarray(out["decoder"]["token_emb"]),
+                                  padded[:7])
+    np.testing.assert_array_equal(np.asarray(out["other"]), np.ones(3))
+
+    # unpadded checkpoint (7) -> padded template (8): zero-pad
+    tmpl8 = {"decoder": {"token_emb": jnp.zeros((8, 4), jnp.float32)}}
+    np.savez(tmp_path / "u.npz", **{"decoder/token_emb": padded[:7]})
+    out = load_init_params(str(tmp_path / "u.npz"), tmpl8, cfg=None)
+    got = np.asarray(out["decoder"]["token_emb"])
+    np.testing.assert_array_equal(got[:7], padded[:7])
+    assert (got[7] == 0).all()
