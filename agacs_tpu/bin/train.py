@@ -63,6 +63,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_bins", type=int, default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--tensor_parallel", type=int, default=1)
+    p.add_argument("--optim_state_shard", action="store_true",
+                   help="ZeRO-1 equivalent: shard Adam moments over the "
+                        "data axis (reference fairscale OSS option, "
+                        "trainer.py:193-199); for full-FT configs")
     p.add_argument("--batch_type", default=None,
                    choices=["numel", "fixed_shapes"],
                    help="overrides the config batch_type. numel = "
@@ -359,6 +363,31 @@ def main(argv: list[str] | None = None) -> dict:
         freeze, n_train / 1e6, n_total / 1e6,
     )
     state = create_train_state(params, tx, jax.random.PRNGKey(tcfg.seed + 1))
+    zero1 = args.optim_state_shard or tcfg.optim_state_shard
+
+    def apply_zero1(state):
+        # ZeRO-1 equivalent (reference optional fairscale OSS path,
+        # trainer.py:193-199): Adam moments sharded over the data axis —
+        # for full-FT configs where replicated moments (2x model, f32)
+        # dominate per-chip HBM
+        import dataclasses
+
+        from agacs_tpu.parallel import opt_state_shard_stats, shard_opt_state
+
+        state = dataclasses.replace(
+            state, opt_state=shard_opt_state(mesh, state.opt_state)
+        )
+        st = opt_state_shard_stats(state.opt_state)
+        logging.info(
+            "optim_state_shard: %.1f MB sharded over data axis "
+            "(%d leaves), %.1f MB replicated",
+            st["sharded_bytes"] / 1e6, st["sharded_leaves"],
+            st["replicated_bytes"] / 1e6,
+        )
+        return state
+
+    if zero1:
+        state = apply_zero1(state)
 
     mgr = CheckpointManager(
         args.exp_dir, keep_nbest=tcfg.keep_nbest_models,
@@ -369,6 +398,9 @@ def main(argv: list[str] | None = None) -> dict:
     if args.resume:
         state, start_epoch, history = mgr.resume(state)
         logging.info("resumed at epoch %d", start_epoch)
+        if zero1:
+            # restored opt-state leaves come back replicated; re-shard
+            state = apply_zero1(state)
 
     from agacs_tpu.train.observability import (
         TensorboardWriter,

@@ -235,3 +235,48 @@ def shard_summary(params: Any) -> dict[str, list[str]]:
         replicated = sh is None or sh.is_fully_replicated
         out["replicated" if replicated else "partitioned"].append(name(kp))
     return out
+
+
+def shard_opt_state(mesh: Mesh, opt_state: Any, min_size: int = 1024) -> Any:
+    """ZeRO-1-style optimizer-state sharding along the DATA axis.
+
+    The reference optionally wraps training in fairscale
+    ShardedDataParallel + OSS (`espnet2/train/trainer.py:193-199,344-347`),
+    which shards optimizer state across data-parallel ranks. GSPMD
+    equivalent: place each moment tensor (any opt-state leaf at least
+    `min_size` elements) sharded over 'data' on its first divisible axis;
+    XLA reduce-scatters gradients into the sharded update math and
+    all-gathers only the final parameter updates. Irrelevant for
+    adapter-PET (tiny opt state); for full-FT it cuts the resident Adam
+    moments (2x model, f32) to 1/n_data per chip.
+
+    Leaves that are scalars, too small, or with no divisible axis stay
+    replicated (correct, just not sharded)."""
+    n_data = mesh.shape["data"]
+
+    def place(x):
+        if not hasattr(x, "shape") or x.ndim == 0 or x.size < min_size:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        for axis in range(x.ndim):
+            if x.shape[axis] % n_data == 0 and x.shape[axis] >= n_data:
+                spec = [None] * x.ndim
+                spec[axis] = "data"
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, opt_state)
+
+
+def opt_state_shard_stats(opt_state: Any) -> dict:
+    """{'sharded_bytes': n, 'replicated_bytes': n, 'sharded_leaves': k}
+    over the actual post-placement shardings (for logging/dryrun)."""
+    out = {"sharded_bytes": 0, "replicated_bytes": 0, "sharded_leaves": 0}
+    for leaf in jax.tree.leaves(opt_state):
+        sh = getattr(leaf, "sharding", None)
+        nbytes = getattr(leaf, "nbytes", 0)
+        if sh is not None and not sh.is_fully_replicated:
+            out["sharded_bytes"] += nbytes
+            out["sharded_leaves"] += 1
+        else:
+            out["replicated_bytes"] += nbytes
+    return out

@@ -49,6 +49,10 @@ class TrainerConfig:
     # int8-quantize the FROZEN trunk linears (W8A8 on the MXU's int8 path,
     # ~2x bf16 matmul peak; trainer.quantize_frozen_linears). "int8" or None.
     freeze_quant: str | None = None
+    # ZeRO-1 equivalent: shard Adam moments over the data axis
+    # (parallel/mesh.shard_opt_state; reference optional fairscale OSS,
+    # trainer.py:193-199). For full-FT configs — pointless for PET.
+    optim_state_shard: bool = False
     init_param: str | None = None
     num_workers: int = 0
 
@@ -169,6 +173,7 @@ def trainer_config_from_dict(d: dict) -> TrainerConfig:
         patience=d.get("patience") if d.get("patience") not in ("none", None) else None,
         freeze_param=d.get("freeze_param"),
         freeze_quant=d.get("freeze_quant"),
+        optim_state_shard=bool(d.get("optim_state_shard", False)),
         init_param=d.get("init_param"),
     )
 

@@ -57,6 +57,7 @@ _SLOW = {
     "test_trainer.py::test_grad_accum_matches_big_batch",
     "test_trainer.py::test_estimate_c_trains_under_adapter_preset",
     "test_trainer.py::test_tp_sharding_applies_to_production_dims",
+    "test_trainer.py::test_optim_state_shard_full_ft_parity",
     "test_int8_linear.py::test_train_step_int8_accum_grad",
     "test_int8_linear.py::test_train_step_int8_under_remat",
     "test_int8_linear.py::test_train_step_int8_trunk",
