@@ -46,6 +46,14 @@ class TransducerASRConfig:
     use_specaug: bool = True
     specaug: SpecAugConfig = SpecAugConfig()
     ignore_id: int = IGNORE_ID
+    # T-chunked joint/loss: bound peak memory to (B, chunk, U+1, V) by
+    # computing the joint + log-softmax + blank/emit gathers per encoder-
+    # frame chunk under a rematerialized scan instead of materializing the
+    # full (B, T, U+1, V) lattice (26 GB f32 at B=8 x 15 s x the whisper
+    # vocab — more HBM than a v5e chip). None = single full joint (fine
+    # for small vocab/short T); the loss value/grads are identical
+    # (tests/test_transducer.py chunked-parity).
+    joint_chunk_t: int | None = None
 
     def _conformer_view(self) -> ConformerASRConfig:
         """Reuse the conformer family's frontend+encoder plumbing. The
@@ -145,14 +153,27 @@ def losses_from_encoder(params, cfg: TransducerASRConfig, batch, enc_out,
     dec_out = transducer_decoder(
         params["transducer"], cfg.decoder, decoder_in, train=train, rng=dec_rng
     )
-    logits = joint_lattice(
-        params["transducer"], cfg.decoder,
-        enc_out.astype(jnp.float32), dec_out.astype(jnp.float32),
-    )
-    loss_trans = rnnt_loss(
-        logits, targets, enc_lens, u_lens,
-        blank=blank, fastemit_lambda=cfg.fastemit_lambda,
-    )
+    if cfg.joint_chunk_t:
+        from agacs_tpu.train.rnnt_loss import rnnt_loss_from_blank_emit
+
+        blank_lp, emit = _blank_emit_chunked(
+            params["transducer"], cfg.decoder,
+            enc_out.astype(jnp.float32), dec_out.astype(jnp.float32),
+            targets, blank, cfg.joint_chunk_t,
+        )
+        loss_trans = rnnt_loss_from_blank_emit(
+            blank_lp, emit, enc_lens, u_lens,
+            fastemit_lambda=cfg.fastemit_lambda,
+        )
+    else:
+        logits = joint_lattice(
+            params["transducer"], cfg.decoder,
+            enc_out.astype(jnp.float32), dec_out.astype(jnp.float32),
+        )
+        loss_trans = rnnt_loss(
+            logits, targets, enc_lens, u_lens,
+            blank=blank, fastemit_lambda=cfg.fastemit_lambda,
+        )
     stats = {"loss_transducer": loss_trans}
 
     if cfg.ctc_weight > 0.0:
@@ -189,3 +210,37 @@ def eval_step_with_greedy(params, cfg: TransducerASRConfig, batch,
         max_symbols=max_symbols,
     )
     return stats, (tokens, n)
+
+
+def _blank_emit_chunked(tparams, dcfg, enc_out, dec_out, targets, blank,
+                        chunk):
+    """blank_lp (B, T, U+1) and emit (B, T, U) log-probs via a
+    rematerialized scan over T-chunks of the joint network.
+
+    Peak memory is one (B, chunk, U+1, V) chunk instead of the full
+    lattice; jax.checkpoint makes the backward pass recompute each
+    chunk's joint instead of keeping its log-softmax residuals."""
+    b, t, _ = enc_out.shape
+    u_max = targets.shape[1]
+    pad = (-t) % chunk
+    enc_p = jnp.pad(enc_out, ((0, 0), (0, pad), (0, 0)))
+    n = (t + pad) // chunk
+    # (n, B, chunk, D): scan iterates chunks
+    enc_c = jnp.moveaxis(
+        enc_p.reshape(b, n, chunk, enc_p.shape[-1]), 1, 0
+    )
+
+    @jax.checkpoint
+    def body(carry, e_chunk):
+        logits = joint_lattice(tparams, dcfg, e_chunk, dec_out)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        bl = lp[..., blank]  # (B, chunk, U+1)
+        em = jnp.take_along_axis(
+            lp[:, :, :u_max, :], targets[:, None, :, None], axis=3
+        )[..., 0]  # (B, chunk, U)
+        return carry, (bl, em)
+
+    _, (bls, ems) = jax.lax.scan(body, None, enc_c)
+    blank_lp = jnp.moveaxis(bls, 0, 1).reshape(b, t + pad, u_max + 1)[:, :t]
+    emit = jnp.moveaxis(ems, 0, 1).reshape(b, t + pad, u_max)[:, :t]
+    return blank_lp, emit

@@ -58,6 +58,21 @@ def rnnt_alpha(
     emit = jnp.take_along_axis(
         log_probs[:, :, :u_max, :], targets[:, None, :, None], axis=3
     )[..., 0]  # (B, T, U)
+    return rnnt_alpha_from_blank_emit(
+        blank_lp, emit, fastemit_lambda=fastemit_lambda
+    )
+
+
+def rnnt_alpha_from_blank_emit(
+    blank_lp: jax.Array,
+    emit: jax.Array,
+    fastemit_lambda: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward lattice from the two log-prob planes the recursion actually
+    reads — blank_lp (B, T, U+1) and emit (B, T, U) — so callers can
+    produce them WITHOUT materializing the (B, T, U+1, V) joint
+    (losses_from_encoder's T-chunked path, models/transducer_asr.py)."""
+    b = blank_lp.shape[0]
     if fastemit_lambda:
         # FastEmit: emission-arc grads x(1+λ), value unchanged
         emit = emit + fastemit_lambda * (emit - jax.lax.stop_gradient(emit))
@@ -108,8 +123,27 @@ def rnnt_loss(
     alpha, blank_lp = rnnt_alpha(
         log_probs, targets, blank=blank, fastemit_lambda=fastemit_lambda
     )
+    return _nll_from_alpha(alpha, blank_lp, t_lens, u_lens, reduction)
 
-    bsz = logits.shape[0]
+
+def rnnt_loss_from_blank_emit(
+    blank_lp: jax.Array,
+    emit: jax.Array,
+    t_lens: jax.Array,
+    u_lens: jax.Array,
+    fastemit_lambda: float = 0.0,
+    reduction: str = "mean",
+) -> jax.Array:
+    """rnnt_loss from precomputed blank/emit log-prob planes (see
+    rnnt_alpha_from_blank_emit) — the memory-bounded entry point."""
+    alpha, blank_lp = rnnt_alpha_from_blank_emit(
+        blank_lp, emit, fastemit_lambda=fastemit_lambda
+    )
+    return _nll_from_alpha(alpha, blank_lp, t_lens, u_lens, reduction)
+
+
+def _nll_from_alpha(alpha, blank_lp, t_lens, u_lens, reduction):
+    bsz = blank_lp.shape[0]
     bi = jnp.arange(bsz)
     # a zero-length encoder sequence has no lattice path: clamp the index
     # (so t_lens==0 does not wrap to the last frame) and zero its NLL

@@ -262,6 +262,10 @@ def task_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> Task:
                 fastemit_lambda=float(model_conf.get("fastemit_lambda", 0.0)),
                 use_specaug=d.get("specaug") == "specaug",
                 specaug=SpecAugConfig.from_dict(d.get("specaug_conf")),
+                joint_chunk_t=(
+                    int(model_conf["joint_chunk_t"])
+                    if model_conf.get("joint_chunk_t") else None
+                ),
             )
             return Task(
                 "transducer", tcfg, transducer_asr.init_transducer_asr_params,

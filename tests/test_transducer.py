@@ -520,3 +520,60 @@ def test_greedy_scan_matches_while_loop():
     t_s, n_s = greedy_search_scan(p2, cfg, enc, enc_lens, max_symbols=8)
     np.testing.assert_array_equal(np.asarray(n_w), np.asarray(n_s))
     np.testing.assert_array_equal(np.asarray(t_w), np.asarray(t_s))
+
+
+def test_joint_chunked_loss_matches_full():
+    """joint_chunk_t bounds peak memory to one (B, chunk, U+1, V) joint
+    chunk; loss value AND gradients must match the full-lattice path
+    (incl. a T not divisible by the chunk, and FastEmit grads)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agacs_tpu.models.conformer import ConformerConfig
+    from agacs_tpu.models.transducer import TransducerConfig
+    from agacs_tpu.models.transducer_asr import (
+        TransducerASRConfig,
+        forward,
+        init_transducer_asr_params,
+    )
+    from agacs_tpu.ops.frontend_default import DefaultFrontendConfig
+
+    base = TransducerASRConfig(
+        encoder=ConformerConfig(
+            input_size=20, output_size=32, attention_heads=2, linear_units=48,
+            num_blocks=2, cnn_module_kernel=7,
+        ),
+        decoder=TransducerConfig(vocab_size=50, hidden_size=24,
+                                 joint_space_size=16),
+        frontend=DefaultFrontendConfig(n_mels=20, n_fft=128, hop_length=64),
+        use_specaug=False,
+        fastemit_lambda=0.1,
+    )
+    params = init_transducer_asr_params(jax.random.PRNGKey(0), base)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(4, 3900).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([3900, 3500, 2700, 1900], jnp.int32),
+        "text": jnp.asarray(
+            np.where(np.arange(6)[None, :] < np.array([6, 4, 3, 5])[:, None],
+                     rng.randint(1, 50, (4, 6)), -1).astype(np.int32)
+        ),
+    }
+
+    chunked = dataclasses.replace(base, joint_chunk_t=7)  # 7 ∤ T on purpose
+
+    def loss_of(cfg):
+        def f(p):
+            loss, _ = forward(p, cfg, batch, train=False)
+            return loss
+        return f
+
+    l_full, g_full = jax.value_and_grad(loss_of(base))(params)
+    l_chun, g_chun = jax.value_and_grad(loss_of(chunked))(params)
+    np.testing.assert_allclose(float(l_chun), float(l_full), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_chun)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
