@@ -1,22 +1,35 @@
 """Benchmark: Whisper-small adapter+CS-loss fine-tuning throughput on one
-TPU chip, over a matrix of realistic packed batch shapes (the recipe's
-`batch_bins: 8e6` numel packing yields ~100-500 audio-seconds of short
-utterances per batch, conf/whisper/train_asr_whisper_small_adapter_
-csloss_2stage_check.yaml:55-86), with an explicit MFU figure per shape
-from XLA's compiled-module FLOP count.
+TPU chip (headline), plus regression rows for the conformer-hybrid and
+transducer tracks, with an explicit MFU figure per row from analytic
+model FLOPs.
 
-Prints ONE JSON line:
+Prints the headline JSON line FIRST — measured from the single headline
+shape (16 x 15 s packed batch, int8 frozen trunk, the recipe's
+`batch_bins: 8e6` realistic pack, conf/whisper/train_asr_whisper_small_
+adapter_csloss_2stage_check.yaml:55-86) — so a driver timeout during the
+extra rows still leaves a parseable line:
+
   {"metric": ..., "value": N, "unit": "audio_sec/s/chip", "vs_baseline": N,
    "best_shape": "BxS", "matrix": {...}}
 
-`value` is the best shape's throughput. Baseline: the reference
-implementation's training step (bundled modified Whisper-small, adapters,
-attention-map collection + CS loss, PyTorch) measured on this host's CPU
-— the only hardware the reference runs on here (BASELINE.json north star
-is >10x that). Measured with tools/measure_torch_baseline.py.
+Then measures the remaining default rows (bf16 trunk, conformer,
+transducer) and prints the same-schema line again with the full matrix
+(same headline `value`); a parser taking either the first or the last
+JSON line gets a correct result. The round-3 extended matrix (8x15 /
+32x5 / 64x5 / 8x30 shapes + the 5 serving benches) is gated behind
+AGACS_BENCH_FULL=1 — it does not fit the driver's time budget
+(BENCH_r03 rc=124).
+
+Baseline: the reference implementation's training step (bundled modified
+Whisper-small, adapters, attention-map collection + CS loss, PyTorch)
+measured on this host's CPU — the only hardware the reference runs on
+here (BASELINE.json north star is >10x that). Measured with
+tools/measure_torch_baseline.py.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -31,6 +44,24 @@ TORCH_CPU_BASELINE_AUDIO_SEC_PER_S = 1.82
 
 # TPU v5e (PALLAS_AXON_TPU_GEN) peak bf16 matmul throughput
 V5E_PEAK_BF16_FLOPS = 197e12
+
+FULL = os.environ.get("AGACS_BENCH_FULL", "") not in ("", "0")
+# Elapsed-time guard: the axon tunnel's FIRST device contact can block for
+# minutes while the relay garbage-collects the PREVIOUS client's session
+# (measured 0.5-7 min of pure wait before any compile; the round-3 driver
+# bench lost its whole budget to it, BENCH_r03 rc=124). Rows after the
+# headline only start while elapsed < budget - ~row cost, so the run
+# always ends with a parseable line instead of dying mid-row.
+BUDGET_S = float(os.environ.get("AGACS_BENCH_BUDGET", "540"))
+ROW_COST_S = 100.0  # measured warm per-row cost upper bound (~60-90 s)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 
 def whisper_fwd_flops(b: int, seconds: int, t_text: int = 33,
@@ -63,16 +94,67 @@ def whisper_fwd_flops(b: int, seconds: int, t_text: int = 33,
     macs = stem + layers * (enc_layer + dec_layer) + logits
     return 2.0 * macs * b
 
-# (batch, seconds, remat): the legacy headline shape + batch_bins-realistic
-# packs. dots_nb + encoder-unroll is the measured winner at EVERY shape
-# (docs/PERF.md round-3 "encoder backward stall forensics" table; it
-# also retires round-2's "full remat at the largest 5 s pack" rule).
-SHAPES = [(8, 15, "dots_nb", False), (16, 15, "dots_nb", False),
-          (32, 5, "dots_nb", False), (64, 5, "dots_nb", False),
-          (8, 30, "dots_nb", False),  # full 30 s context (q-chunked kernel)
-          # int8 frozen trunk (W8A8, freeze_quant: int8) at the headline
-          # shape — docs/PERF.md round-3 int8-trunk section
-          (16, 15, "dots_nb", True)]
+
+def conformer_fwd_flops(b: int, t_frames: int, t_text: int = 33,
+                        d: int = 256, h_ffn: int = 2048, enc_layers: int = 12,
+                        dec_layers: int = 6, vocab: int = 51865):
+    """Analytic forward matmul FLOPs for the SEAME conformer hybrid
+    (rel-pos conformer encoder + transformer decoder + CTC head).
+    t_frames = mel frames entering the Conv2dSubsampling (/4)."""
+    t = t_frames // 4
+    # Conv2dSubsampling: Conv2d(1,d,3,s2) + Conv2d(d,d,3,s2) + Linear(d*20,d)
+    stem = (
+        (t_frames // 2) * 40 * d * 9
+        + t * 20 * d * d * 9
+        + t * (d * 20) * d
+    )
+    enc_layer = (
+        2 * (2 * t * d * h_ffn)      # two macaron MLPs
+        + 5 * t * d * d              # q,k,v,out + rel-pos projection
+        + 3 * t * t * d              # scores + rel-pos scores + weighted sum
+        + t * d * (2 * d)            # conv module pointwise in (GLU)
+        + t * d * d                  # conv module pointwise out
+    )
+    dec_layer = (
+        4 * t_text * d * d + 2 * t_text * t_text * d      # self attn
+        + 2 * t_text * d * d + 2 * t * d * d              # cross q/out, k/v
+        + 2 * t_text * t * d                              # cross attn
+        + 2 * t_text * d * h_ffn                          # mlp
+    )
+    heads = t_text * d * vocab + t * d * vocab  # decoder logits + CTC head
+    macs = stem + enc_layers * enc_layer + dec_layers * dec_layer + heads
+    return 2.0 * macs * b
+
+
+def transducer_fwd_flops(b: int, t_frames: int, t_text: int = 33,
+                         d: int = 256, h_ffn: int = 2048, enc_layers: int = 12,
+                         h_pred: int = 320, j: int = 320, vocab: int = 51865):
+    """Analytic forward matmul FLOPs for conformer encoder + LSTM
+    prediction net + joint network (the (T, U, V) lattice dominates)."""
+    t = t_frames // 4
+    stem = (
+        (t_frames // 2) * 40 * d * 9 + t * 20 * d * d * 9 + t * (d * 20) * d
+    )
+    enc_layer = (
+        2 * (2 * t * d * h_ffn) + 5 * t * d * d + 3 * t * t * d
+        + t * d * (2 * d) + t * d * d
+    )
+    u = t_text + 1
+    pred = u * 4 * h_pred * (h_pred + h_pred)     # LSTM gates (emb size = h)
+    joint = t * d * j + u * h_pred * j + t * u * j * vocab
+    macs = stem + enc_layers * enc_layer + pred + joint
+    return 2.0 * macs * b
+
+
+# whisper matrix rows: (batch, seconds, remat, int8_trunk). dots_nb +
+# encoder-unroll is the measured winner at EVERY shape (docs/PERF.md
+# round-3 "encoder backward stall forensics" table). The headline row
+# comes first and is printed as soon as it is measured.
+HEADLINE = (16, 15, "dots_nb", True)   # int8 frozen trunk (W8A8)
+DEFAULT_WHISPER = [(16, 15, "dots_nb", False)]
+FULL_WHISPER = [(8, 15, "dots_nb", False), (32, 5, "dots_nb", False),
+                (64, 5, "dots_nb", False),
+                (8, 30, "dots_nb", False)]  # full 30 s ctx (q-chunked kernel)
 UNROLL = "encoder"
 STEPS = 10
 
@@ -100,92 +182,234 @@ def _make_batch(batch: int, seconds: int):
     }
 
 
+def _time_steps(step, state, batch) -> float:
+    """Compile + warm, then time STEPS chained steps (on the axon remote
+    backend only a host value fetch synchronizes; the final loss
+    data-depends on every step)."""
+    state, stats = step(state, batch)  # compile + warm
+    float(stats["loss"])
+    for _ in range(2):
+        state, stats = step(state, batch)
+    float(stats["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, stats = step(state, batch)
+    final_loss = float(stats["loss"])
+    dt = (time.perf_counter() - t0) / STEPS
+    assert np.isfinite(final_loss)
+    return dt
+
+
+def bench_whisper_shape(batch_size: int, seconds: int, remat: str,
+                        int8: bool) -> dict:
+    from agacs_tpu.models.asr_model import ASRModelConfig, init_asr_params
+    from agacs_tpu.models.whisper import make_config
+    from agacs_tpu.train.optim import OptimConfig
+    from agacs_tpu.train.trainer import (
+        build_tx,
+        cast_frozen_params,
+        create_train_state,
+        make_train_step,
+        quantize_frozen_linears,
+    )
+
+    cfg = ASRModelConfig(
+        whisper=make_config("small", adapter=True,
+                            compute_dtype=jnp.bfloat16, remat=remat,
+                            unroll_layers=UNROLL),
+        cs_weight=0.01,
+        use_specaug=True,
+    )
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    tx, mask = build_tx(
+        params, OptimConfig(warmup_steps=500), freeze_preset="adapter"
+    )
+    params = cast_frozen_params(params, mask)  # bf16 frozen trunk
+    if int8:  # W8A8 frozen trunk on the MXU int8 path
+        params = quantize_frozen_linears(params, mask)
+        tx, mask = build_tx(params, OptimConfig(warmup_steps=500),
+                            freeze_preset="adapter")
+    step = make_train_step(cfg, tx, trainable_mask=mask, donate=False)
+    batch = _make_batch(batch_size, seconds)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+
+    dt = _time_steps(step, state, batch)
+    # model FLOPs: fwd + 2x bwd (standard MFU convention; remat recompute
+    # and the frozen-trunk weight-grad cut both ignored)
+    flops = 3.0 * whisper_fwd_flops(batch_size, seconds)
+    return {
+        "ms_per_step": round(dt * 1e3, 1),
+        "audio_sec_per_s": round(batch_size * seconds / dt, 1),
+        "mfu": round(flops / dt / V5E_PEAK_BF16_FLOPS, 4),
+    }
+
+
+def _conformer_batch(batch: int, seconds: int, vocab: int = 51865):
+    rng = np.random.RandomState(0)
+    s = seconds * 16000
+    n_text = 32
+    text = np.full((batch, n_text), -1, np.int64)
+    for i in range(batch):
+        n = n_text - (i % 4)
+        text[i, :n] = rng.randint(100, vocab - 10, n)
+    return {
+        "speech": jnp.asarray((rng.randn(batch, s) * 0.05).astype(np.float32)),
+        "speech_lengths": jnp.full((batch,), s, jnp.int32),
+        "text": jnp.asarray(text.astype(np.int32)),
+    }
+
+
+def bench_conformer(batch_size: int = 16, seconds: int = 15) -> dict:
+    """SEAME conformer hybrid CTC/attention train step
+    (recipes/seame/conf/train_asr_conformer.yaml shape census pack)."""
+    from agacs_tpu.train.optim import OptimConfig
+    from agacs_tpu.train.trainer import (
+        build_tx,
+        create_train_state,
+        make_train_step,
+    )
+    from agacs_tpu.utils.config import task_from_dict
+
+    task = task_from_dict({
+        "encoder": "conformer",
+        "decoder": "transformer",
+        "model_conf": {"ctc_weight": 0.3, "lsm_weight": 0.1},
+        "frontend_conf": {"n_fft": 512, "hop_length": 128, "n_mels": 80},
+        "normalize": "utterance_mvn",
+        "specaug": "specaug",
+    })
+    params = task.init_fn(jax.random.PRNGKey(0), task.cfg)
+    tx, _ = build_tx(params, OptimConfig(warmup_steps=25000))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(task.cfg, tx, loss_fn=task.loss_fn, donate=False)
+    batch = _conformer_batch(batch_size, seconds)
+
+    dt = _time_steps(step, state, batch)
+    t_frames = seconds * 16000 // 128
+    flops = 3.0 * conformer_fwd_flops(batch_size, t_frames)
+    return {
+        "ms_per_step": round(dt * 1e3, 1),
+        "audio_sec_per_s": round(batch_size * seconds / dt, 1),
+        "mfu": round(flops / dt / V5E_PEAK_BF16_FLOPS, 4),
+    }
+
+
+def bench_transducer(batch_size: int = 8, seconds: int = 15,
+                     vocab: int = 5000) -> dict:
+    """SEAME transducer train step (conformer encoder + LSTM prediction
+    net + joint, RNNT lattice loss —
+    recipes/seame/conf/train_asr_transducer.yaml). Benched at a
+    SEAME-realistic transducer vocab (~5k char+BPE inventory): the (B, T,
+    U, V) joint lattice at the full whisper vocab (51865) is 26 GB f32 —
+    transducer recipes never use it (the whisper vocab belongs to the
+    whisper track)."""
+    from agacs_tpu.train.optim import OptimConfig
+    from agacs_tpu.train.trainer import (
+        build_tx,
+        create_train_state,
+        make_train_step,
+    )
+    from agacs_tpu.utils.config import task_from_dict
+
+    task = task_from_dict({
+        "encoder": "conformer",
+        "decoder": "transducer",
+        "vocab_size": vocab,
+        "decoder_conf": {"rnn_type": "lstm", "num_layers": 1,
+                         "hidden_size": 320},
+        "joint_net_conf": {"joint_space_size": 320},
+        "model_conf": {"ctc_weight": 0.3},
+        "frontend_conf": {"n_fft": 512, "hop_length": 128, "n_mels": 80},
+        "normalize": "utterance_mvn",
+        "specaug": "specaug",
+    })
+    params = task.init_fn(jax.random.PRNGKey(0), task.cfg)
+    tx, _ = build_tx(params, OptimConfig(warmup_steps=25000))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(task.cfg, tx, loss_fn=task.loss_fn, donate=False)
+    batch = _conformer_batch(batch_size, seconds, vocab=vocab)
+
+    dt = _time_steps(step, state, batch)
+    t_frames = seconds * 16000 // 128
+    flops = 3.0 * transducer_fwd_flops(batch_size, t_frames, vocab=vocab)
+    return {
+        "ms_per_step": round(dt * 1e3, 1),
+        "audio_sec_per_s": round(batch_size * seconds / dt, 1),
+        "mfu": round(flops / dt / V5E_PEAK_BF16_FLOPS, 4),
+    }
+
+
+def _emit(matrix: dict, best: tuple, inference=None) -> None:
+    line = {
+        "metric": "whisper_small_adapter_csloss_train_throughput",
+        "value": round(best[0], 2),
+        "unit": "audio_sec/s/chip",
+        "vs_baseline": round(best[0] / TORCH_CPU_BASELINE_AUDIO_SEC_PER_S, 2),
+        "best_shape": best[1],
+        "matrix": matrix,
+    }
+    if inference is not None:
+        line["inference"] = inference
+    print(json.dumps(line), flush=True)
+
+
 def main():
     from agacs_tpu.utils.runtime import setup as _runtime_setup
 
     _runtime_setup()
-    from agacs_tpu.models.asr_model import ASRModelConfig, init_asr_params
-    from agacs_tpu.models.whisper import make_config
-    from agacs_tpu.train.optim import OptimConfig
-    from agacs_tpu.train.trainer import build_tx, create_train_state, make_train_step
-
     matrix = {}
     best = (0.0, None)
-    for batch_size, seconds, remat, int8 in SHAPES:
-        cfg = ASRModelConfig(
-            whisper=make_config("small", adapter=True,
-                                compute_dtype=jnp.bfloat16, remat=remat,
-                                unroll_layers=UNROLL),
-            cs_weight=0.01,
-            use_specaug=True,
-        )
-        params = init_asr_params(jax.random.PRNGKey(0), cfg)
-        tx, mask = build_tx(
-            params, OptimConfig(warmup_steps=500), freeze_preset="adapter"
-        )
-        from agacs_tpu.train.trainer import cast_frozen_params
 
-        params = cast_frozen_params(params, mask)  # bf16 frozen trunk
-        if int8:  # W8A8 frozen trunk on the MXU int8 path
-            from agacs_tpu.train.trainer import quantize_frozen_linears
+    def add(key: str, row: dict, headline_family: bool = True) -> None:
+        nonlocal best
+        matrix[key] = row
+        _log(f"{key}: {row}")
+        if headline_family and row["audio_sec_per_s"] > best[0]:
+            best = (row["audio_sec_per_s"], key)
 
-            params = quantize_frozen_linears(params, mask)
-            tx, mask = build_tx(params, OptimConfig(warmup_steps=500),
-                                freeze_preset="adapter")
-        step = make_train_step(cfg, tx, trainable_mask=mask, donate=False)
-        batch = _make_batch(batch_size, seconds)
-        state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    def time_left() -> bool:
+        if FULL:
+            return True
+        left = BUDGET_S - (time.perf_counter() - _T0) > ROW_COST_S
+        if not left:
+            _log("budget guard: skipping remaining rows")
+        return left
 
-        # model FLOPs: fwd + 2x bwd (standard MFU convention; remat
-        # recompute and the frozen-trunk weight-grad cut both ignored)
-        flops = 3.0 * whisper_fwd_flops(batch_size, seconds)
+    b, s, remat, int8 = HEADLINE
+    add(f"{b}x{s}s_int8", bench_whisper_shape(b, s, remat, int8))
+    # headline line first, then re-emit the cumulative line after every
+    # row: a timeout mid-matrix still leaves the latest complete line on
+    # stdout (driver parses first or last JSON line — both are correct)
+    _emit(matrix, best)
 
-        state, stats = step(state, batch)  # compile + warm
-        float(stats["loss"])
-        for _ in range(2):
-            state, stats = step(state, batch)
-        float(stats["loss"])
+    for b, s, remat, int8 in DEFAULT_WHISPER + (FULL_WHISPER if FULL else []):
+        if not time_left():
+            break
+        key = f"{b}x{s}s" + ("_int8" if int8 else "")
+        add(key, bench_whisper_shape(b, s, remat, int8))
+        _emit(matrix, best)
 
-        # NOTE: on the axon remote backend, block_until_ready does not
-        # actually wait — only a host value fetch synchronizes. Fetch the
-        # final loss (it data-depends on every step) to time the chain.
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            state, stats = step(state, batch)
-        final_loss = float(stats["loss"])
-        dt = (time.perf_counter() - t0) / STEPS
-        assert np.isfinite(final_loss)
+    if time_left():
+        add("conformer_16x15s", bench_conformer(), headline_family=False)
+        _emit(matrix, best)
+    if time_left():
+        add("transducer_8x15s_v5k", bench_transducer(),
+            headline_family=False)
+        _emit(matrix, best)
 
-        audio_per_s = batch_size * seconds / dt
-        key = f"{batch_size}x{seconds}s" + ("_int8" if int8 else "")
-        matrix[key] = {
-            "ms_per_step": round(dt * 1e3, 1),
-            "audio_sec_per_s": round(audio_per_s, 1),
-            "mfu": round(flops / dt / V5E_PEAK_BF16_FLOPS, 4) if flops else None,
-        }
-        if audio_per_s > best[0]:
-            best = (audio_per_s, key)
-
-    inference = _bench_inference()
-
-    print(
-        json.dumps(
-            {
-                "metric": "whisper_small_adapter_csloss_train_throughput",
-                "value": round(best[0], 2),
-                "unit": "audio_sec/s/chip",
-                "vs_baseline": round(best[0] / TORCH_CPU_BASELINE_AUDIO_SEC_PER_S, 2),
-                "best_shape": best[1],
-                "matrix": matrix,
-                "inference": inference,
-            }
-        )
-    )
+    if FULL:
+        _emit(matrix, best, _bench_inference())
+    # skip the jax client teardown: it drains the tunnel session for
+    # MINUTES (measured up to 7 min) — everything is printed and flushed
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 def _bench_inference():
     """Warm greedy + beam-5 decode throughput (KV-cached, scan loop) —
-    the serving-side numbers next to the training headline."""
+    the serving-side numbers next to the training headline. Gated behind
+    AGACS_BENCH_FULL (does not fit the driver budget)."""
     from agacs_tpu.decode.beam import beam_decode
     from agacs_tpu.decode.greedy import greedy_decode
     from agacs_tpu.models.whisper import (
@@ -230,8 +454,7 @@ def _bench_inference():
         # dispatch is async through the tunnel but every fetch pays a
         # ~30 ms RPC round-trip (measured round 3); amortize it over K
         # back-to-back decodes so the number reflects device time like
-        # the training matrix does (earlier rounds' serving numbers
-        # carried the full RPC per batch — docs/PERF.md round-3)
+        # the training matrix does
         reps = 5
         ts = []
         for _ in range(2):
@@ -244,6 +467,7 @@ def _bench_inference():
             "ms_per_batch": round(min(ts) * 1e3, 1),
             "x_realtime": round(b * sec / min(ts), 0),
         }
+        _log(f"inference {name}: {out[name]}")
     return out
 
 
