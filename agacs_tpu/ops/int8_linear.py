@@ -62,12 +62,22 @@ def dequantize_weight(w_q: jax.Array, w_s: jax.Array, dtype=jnp.float32) -> jax.
     return (w_q.astype(jnp.float32) * w_s[..., None, :]).astype(dtype)
 
 
-def _row_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Dynamic symmetric per-row int8: x (..., k) -> (int8, f32 (..., 1))."""
+def _row_quant_xla(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
     q = jnp.round(xf / s).astype(jnp.int8)  # |xf|/s <= 127 by construction
     return q, s
+
+
+def _row_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric per-row int8: x (..., k) -> (int8, f32 (..., 1)).
+
+    Kept as plain jnp ON PURPOSE: a fused single-pass Pallas version was
+    measured SLOWER end-to-end (85.2 -> 107.1 ms on the 16x15 s int8
+    step, round 4) — XLA already fuses the abs-reduce and round/convert
+    into the surrounding producer fusions, and an opaque custom call
+    breaks those fusions (docs/PERF.md round-4 negative results)."""
+    return _row_quant_xla(x)
 
 
 def _fwd_core(x: jax.Array, w_q: jax.Array, w_s: jax.Array) -> jax.Array:
