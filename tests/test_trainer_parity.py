@@ -83,7 +83,8 @@ def _make_batches(tok):
     return micro
 
 
-def _torch_trajectory(model, micro, tok, head_mask):
+def _torch_trajectory(model, micro, tok, head_mask,
+                      freeze_substr="adapter"):
     """Reference-semantics training loop. Returns (losses, grad_norms):
     per-optimizer-step micro-averaged loss and pre-clip trainable grad
     norm (what `torch.nn.utils.clip_grad_norm_` returns, trainer.py:668)."""
@@ -94,7 +95,8 @@ def _torch_trajectory(model, micro, tok, head_mask):
     sot, eot = tok.special.sot, tok.special.eot
 
     for name, p in model.named_parameters():
-        p.requires_grad = "adapter" in name  # freeze preset (abs_task.py:1163+)
+        # freeze preset: substring matching (abs_task.py:1163-1222)
+        p.requires_grad = freeze_substr in name
     trainable = [p for p in model.parameters() if p.requires_grad]
     opt = torch.optim.AdamW(trainable, lr=LR, weight_decay=0.01,
                             betas=(0.9, 0.99), eps=1e-6)
@@ -248,3 +250,79 @@ def test_training_trajectory_matches_reference():
     np.testing.assert_allclose(got_gnorms, ref_gnorms, rtol=2e-3)
     # the trajectory must actually move (optimizer really stepping)
     assert abs(ref_losses[-1] - ref_losses[0]) > 1e-4
+
+
+def test_training_trajectory_matches_reference_pe():
+    """Same trajectory harness for the PE dual-QK variant: whisper_pe
+    freeze preset ('cs' substring, abs_task.py:1165-1168 — the per-head
+    gate stays frozen), post-softmax attention maps feeding the CS loss
+    (MultiHeadAttentionPE returns w, model.py:156-179; the loss consumes
+    p_cols here)."""
+    tok = WhisperTokenizer()
+    micro = _make_batches(tok)
+    # reference PE gate is hardcoded to 12 heads (model.py:121)
+    dims = dict(_dims(), n_audio_head=12, n_text_head=12,
+                n_audio_state=96, n_text_state=96)
+    rngm = np.random.RandomState(5)
+    head_mask = (rngm.rand(dims["n_text_layer"], dims["n_text_head"]) > 0.5
+                 ).astype(np.float32)
+
+    model = make_torch_model(pe_whisper=True, n_vocab=VOCAB,
+                             n_state=96, n_head=12)
+    cfg = ASRModelConfig(
+        whisper=WhisperConfig(**dims, pe_attention=True,
+                              compute_dtype=jnp.float32),
+        cs_weight=CS_WEIGHT,
+        c_val_attention=C_VAL,
+        lsm_weight=LSM,
+        use_specaug=False,
+        head_mask=tuple(tuple(float(v) for v in r) for r in head_mask),
+    )
+    params = params_from_state_dict(
+        {k: v.detach().clone() for k, v in model.state_dict().items()},
+        cfg.whisper,
+    )
+    ref_losses, ref_gnorms = _torch_trajectory(
+        model, micro, tok, head_mask, freeze_substr="cs"
+    )
+
+    tx, mask = build_tx(
+        params,
+        OptimConfig(lr=LR, warmup_steps=WARMUP, grad_clip=CLIP,
+                    weight_decay=0.01, betas=(0.9, 0.99), eps=1e-6),
+        freeze_preset="whisper_pe",
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, tx, accum_grad=ACCUM,
+                              trainable_mask=mask, donate=False)
+
+    got_losses, got_gnorms = [], []
+    for step in range(STEPS):
+        speech = np.stack([micro[step * ACCUM + a][0] for a in range(ACCUM)])
+        text = np.stack([micro[step * ACCUM + a][1] for a in range(ACCUM)])
+        ys_in = np.concatenate(
+            [np.full((ACCUM, B, 1), tok.special.sot),
+             np.where(text == -1, tok.special.eot, text)], axis=2
+        )
+        labels = np.stack(
+            [attention_target_labels(ys_in[a], tok) for a in range(ACCUM)]
+        )
+        batch = {
+            "speech": jnp.asarray(speech),
+            "speech_lengths": jnp.full((ACCUM, B), speech.shape[-1], jnp.int32),
+            "text": jnp.asarray(text.astype(np.int32)),
+            "cs_labels": jnp.asarray(labels),
+        }
+        state, stats = step_fn(state, batch)
+        got_losses.append(float(stats["loss"]))
+        got_gnorms.append(float(stats["grad_norm"]))
+
+    rel = np.abs(np.array(got_losses) - np.array(ref_losses)) / np.array(
+        ref_losses
+    )
+    print(f"PE ref losses : {[round(x, 6) for x in ref_losses]}")
+    print(f"PE got losses : {[round(x, 6) for x in got_losses]}")
+    print(f"PE rel drift  : {[f'{x:.2e}' for x in rel]}")
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=2e-4)
+    np.testing.assert_allclose(got_gnorms, ref_gnorms, rtol=2e-3)
+    assert abs(ref_losses[-1] - ref_losses[0]) > 1e-5
