@@ -49,6 +49,11 @@ class ConformerConfig:
     # "layer" (TPU-native default) or "batch" (exact espnet
     # ConvolutionModule BatchNorm1d parity — see _conv_module)
     conv_norm: str = "layer"
+    # unroll the block loop (static per-layer buffers instead of scanned
+    # stacked-param dynamic slices) — same lever as whisper's
+    # unroll_layers (docs/PERF.md round-3 encoder-stall forensics);
+    # costs a longer compile, pays off for long training runs
+    unroll_layers: bool = False
     compute_dtype: Any = jnp.float32
 
 
@@ -363,15 +368,38 @@ def conformer_encode(
             rs[3], _ffn_fwd(bp["ff2"], layer_norm(h, bp["ff2_ln"])), drop
         )
         h = layer_norm(h, bp["final_ln"])
-        return (h, r), (h, bn_stats)
+        # only stack what the caller asked for: the unconditional (L, B,
+        # T, d) layer-output stack cost ~12 ms/step of dynamic-update-
+        # slice + copy churn at 16x15 s (round-4 xplane) when neither
+        # interCTC nor BN collection was active
+        out = ()
+        if interctc_layers:
+            out += (h,)
+        if collect_bn_stats:
+            out += (bn_stats,)
+        return (h, r), out
 
-    (x, _), (layer_outs, bn_stats) = jax.lax.scan(
-        body, (x, rng_c), params["blocks"]
-    )
+    if cfg.unroll_layers:
+        carry = (x, rng_c)
+        stacked = []
+        for i in range(cfg.num_blocks):
+            bp = jax.tree.map(lambda a: a[i], params["blocks"])
+            carry, out = body(carry, bp)
+            stacked.append(out)
+        x, _ = carry
+        if stacked and stacked[0]:
+            # leaf-wise layer stacking, same layout as lax.scan's ys
+            outs = jax.tree.map(lambda *xs: jnp.stack(xs), *stacked)
+        else:
+            outs = ()
+    else:
+        (x, _), outs = jax.lax.scan(body, (x, rng_c), params["blocks"])
     x = layer_norm(x, params["after_ln"])
     if collect_bn_stats:
+        bn_stats = outs[-1]
         return x, olens, bn_stats
     if interctc_layers:
+        layer_outs = outs[0]
         inter = [(li, layer_outs[li - 1]) for li in interctc_layers]
         return x, olens, inter
     return x, olens

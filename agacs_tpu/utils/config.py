@@ -216,6 +216,7 @@ def task_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> Task:
             macaron_style=bool(enc_conf.get("macaron_style", True)),
             use_cnn_module=bool(enc_conf.get("use_cnn_module", True)),
             conv_norm=str(enc_conf.get("conv_norm", "layer")),
+            unroll_layers=bool(enc_conf.get("unroll_layers", False)),
             compute_dtype=compute_dtype,
         )
         dec = TransformerDecoderConfig(

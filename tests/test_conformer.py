@@ -396,3 +396,45 @@ def test_conformer_batchnorm_train_and_calibrate():
     )
     loss_e, _ = forward(params, cfg, batch, train=False, rng=None)
     assert np.isfinite(float(loss_e))
+
+
+def test_conformer_unroll_matches_scan():
+    """unroll_layers=True replays the exact scan semantics (incl. the
+    per-layer dropout rng chain and interCTC taps)."""
+    import dataclasses
+
+    from agacs_tpu.models.conformer import conformer_encode
+
+    cfg = ConformerASRConfig(
+        encoder=SMALL_ENC, decoder=SMALL_DEC, ctc_weight=0.0,
+        use_specaug=False,
+    ).encoder
+    cfgu = dataclasses.replace(cfg, unroll_layers=True)
+    params = {"": None}
+    from agacs_tpu.models.conformer import init_conformer_params
+
+    params = init_conformer_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 40, cfg.input_size).astype(np.float32))
+    ilens = jnp.asarray([40, 28], jnp.int32)
+
+    # eval path
+    o1, l1 = conformer_encode(params, cfg, feats, ilens)
+    o2, l2 = conformer_encode(params, cfgu, feats, ilens)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    # train path (dropout rng chain must match bit-for-bit)
+    key = jax.random.PRNGKey(7)
+    o1, _ = conformer_encode(params, cfg, feats, ilens, rng=key)
+    o2, _ = conformer_encode(params, cfgu, feats, ilens, rng=key)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    # interCTC taps
+    _, _, i1 = conformer_encode(params, cfg, feats, ilens,
+                                interctc_layers=(1, 2))
+    _, _, i2 = conformer_encode(params, cfgu, feats, ilens,
+                                interctc_layers=(1, 2))
+    for (a_i, a_h), (b_i, b_h) in zip(i1, i2):
+        assert a_i == b_i
+        np.testing.assert_allclose(np.asarray(a_h), np.asarray(b_h), atol=1e-5)
