@@ -28,6 +28,20 @@ def setup(cache_dir: str | None = None) -> None:
         or os.environ.get("AGACS_JAX_CACHE")
         or os.path.expanduser("~/.cache/agacs_tpu/jax")
     )
+    # namespace by platform + forced-device topology: executables cached
+    # by a virtual-CPU-mesh process (tests, multiprocess workers, the
+    # multichip dryrun) must never be deserialized by a TPU process or a
+    # different-topology CPU process — a mismatched entry aborts the
+    # whole process inside XLA's deserializer (observed round 4:
+    # repeatable 'Fatal Python error: Aborted' in
+    # compilation_cache.get_executable_and_time during the test suite)
+    import re
+
+    plat = (os.environ.get("JAX_PLATFORMS") or "default").replace(",", "_")
+    m = re.search(
+        r"host_platform_device_count=(\d+)", os.environ.get("XLA_FLAGS", "")
+    )
+    cache_dir = os.path.join(cache_dir, f"{plat}_d{m.group(1) if m else 1}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

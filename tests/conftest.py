@@ -21,10 +21,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the suite compiles many tiny models
+# persistent compile cache: the suite compiles many tiny models. The dir
+# is topology-namespaced (cpu, 8 devices) — loading an executable cached
+# under a different topology hard-aborts the process in XLA's
+# deserializer (see utils/runtime.setup)
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/agacs_tpu/jax_test"),
+    os.path.expanduser("~/.cache/agacs_tpu/jax_test/cpu_d8"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
