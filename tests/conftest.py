@@ -116,6 +116,14 @@ _SLOW = {
     "test_composed_beam.py::test_scan_loop_matches_while",
     "test_flac_ark.py::test_real_clip_greedy_parity_vs_torch_oracle",
     "test_joint_beam.py::test_wider_beam_not_worse",
+    "test_joint_beam.py::test_joint_beam_with_ctc_runs_and_scores",
+    "test_joint_beam.py::test_attention_only_beam1_is_greedy",
+    "test_ngram.py::test_ngram_matches_oracle",
+    "test_decode.py::test_decode_dp_sharded_matches_single",
+    "test_lm.py::test_lm_loss_and_ppl",
+    "test_transducer.py::test_default_beam_lm_fusion",
+    "test_conformer.py::test_conformer_encoder_shapes_and_padding_invariance",
+    "test_whisper_model.py::test_conv1d_matmul_matches_lax_conv",
 }
 
 
