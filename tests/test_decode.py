@@ -298,3 +298,52 @@ def test_decode_dp_sharded_int8_cross(monkeypatch):
     np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb2))
     np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb2))
     np.testing.assert_allclose(np.asarray(sb), np.asarray(sb2), atol=1e-5)
+
+
+def test_decode_token_exact_with_padded_token_emb():
+    """Serving with a tp-padded embedding (parallel/mesh.pad_vocab_rows):
+    greedy and beam decode must be token-exact vs the unpadded model —
+    the pad logit columns are sliced before any argmax/top-k
+    (models/whisper.py)."""
+    import copy
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from agacs_tpu.decode.beam import beam_decode
+    from agacs_tpu.decode.greedy import greedy_decode
+    from agacs_tpu.models.whisper import (
+        WhisperConfig,
+        init_whisper_params,
+        whisper_encode,
+    )
+    from agacs_tpu.parallel.mesh import pad_vocab_rows
+
+    cfg = WhisperConfig(
+        n_mels=80, n_audio_ctx=20, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=16, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    padded = copy.copy(params)
+    padded["decoder"] = dict(params["decoder"])
+    padded["decoder"]["token_emb"] = jnp.asarray(
+        pad_vocab_rows(params["decoder"]["token_emb"], 8)
+    )
+    assert padded["decoder"]["token_emb"].shape[0] == 51872
+
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(3, 40, 80).astype(np.float32) * 0.1)
+    enc = whisper_encode(params, cfg, mel)
+
+    t1, l1 = greedy_decode(params, cfg, enc, max_steps=8)[:2]
+    t2, l2 = greedy_decode(padded, cfg, enc, max_steps=8)[:2]
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    b1 = beam_decode(params, cfg, enc, beam_size=3, max_steps=6)
+    b2 = beam_decode(padded, cfg, enc, beam_size=3, max_steps=6)
+    np.testing.assert_array_equal(np.asarray(b1[0]), np.asarray(b2[0]))
+    np.testing.assert_array_equal(np.asarray(b1[1]), np.asarray(b2[1]))

@@ -140,3 +140,101 @@ def test_side_network_checkpoint_import():
     np.testing.assert_allclose(
         np.asarray(params["decoder_side"]["gates"][0]), ref_g.reshape(())
     )
+
+
+def test_side_network_forward_matches_reference_oracle():
+    """END-TO-END torch-oracle parity for the ladder side network: the
+    literal reference forward (whisper_encoder.py:172-205 side loop +
+    gate_output fusion; whisper_decoder.py:126-163 side loop, upsample
+    REPLACING the trunk head — note the reference decoder ignores the
+    side_encoder_output argument and recomputes
+    downsample_encoder_input(hs_pad) at :129) vs whisper_encode /
+    whisper_decode with imported weights."""
+    import torch
+    import torch.nn.functional as F
+
+    from agacs_tpu.models.checkpoint import params_from_state_dict
+    from reference_oracle import import_reference_whisper, tiny_dims
+
+    wm = import_reference_whisper()
+    torch.manual_seed(3)
+    side_layers = [0, 1]
+    model = wm.Whisper(
+        tiny_dims(wm, n_vocab=51865), side_network=True,
+        side_network_conf={"n_dim": 32, "n_head": 4, "layers": side_layers},
+    ).eval()
+    torch.nn.init.normal_(model.decoder.positional_embedding, 0.0, 0.02)
+
+    rng = np.random.RandomState(0)
+    mel = torch.from_numpy(rng.randn(2, 80, 40).astype(np.float32) * 0.5)
+    tokens = torch.from_numpy(
+        np.array([[50258, 5, 9, 11], [50258, 7, 3, 2]], np.int64)
+    )
+
+    with torch.no_grad():
+        enc, dec = model.encoder, model.decoder
+        es, ds = model.encoder_sidenetwork, model.decoder_sidenetwork
+        # --- encoder (whisper_encoder.py:137-205, eval: no dropout)
+        x = F.gelu(enc.conv1(mel))
+        x = F.gelu(enc.conv2(x)).permute(0, 2, 1)
+        x = (x + enc.positional_embedding[: x.size(1)]).to(x.dtype)
+        xd = es.downsample_input(x)
+        sb = 0
+        for i in range(len(enc.blocks)):
+            x, _ = enc.blocks[i](x)
+            if i in side_layers:
+                inter = es.downsample_intermediate_layers[sb](x)
+                g = torch.sigmoid(es.sigmoid_gate_intermediate_layers[sb])
+                xd = (1.0 - g) * inter + g * xd
+                xd, _ = es.blocks[sb](xd)
+                sb += 1
+        x = enc.ln_post(x)
+        xd = es.ln_post(es.upsample_output(xd))
+        g = torch.sigmoid(es.sigmoid_gate_output)
+        enc_t = (1.0 - g) * x + g * xd
+
+        # --- decoder (whisper_decoder.py:117-165, whisper_cs maps)
+        t = dec.token_embedding(tokens) + dec.positional_embedding[: tokens.size(1)]
+        t = t.to(enc_t.dtype)
+        td = ds.downsample_input(t)
+        side_mem = ds.downsample_encoder_input(enc_t)
+        maps = []
+        sb = 0
+        for i in range(len(dec.blocks)):
+            t, att = dec.blocks[i](t, enc_t, mask=dec.mask)
+            if i in side_layers:
+                inter = ds.downsample_intermediate_layers[sb](t)
+                g = torch.sigmoid(ds.sigmoid_gate_intermediate_layers[sb])
+                td = (1.0 - g) * inter + g * td
+                td, _ = ds.blocks[sb](td, side_mem, mask=ds.mask)
+                sb += 1
+            maps.append(att)
+        t = dec.ln(t)  # computed then REPLACED by the side head (:160-163)
+        t = ds.ln(ds.upsample_output(td))
+        logits_t = (t @ dec.token_embedding.weight.T).float()
+
+    cfg = dataclasses.replace(
+        CFG, n_audio_ctx=20, n_text_ctx=16,
+        side_network=SideNetworkConfig(n_dim=32, n_head=4,
+                                       layers=tuple(side_layers)),
+    )
+    params = params_from_state_dict(model.state_dict(), cfg)
+    from agacs_tpu.models.whisper import whisper_decode, whisper_encode
+
+    enc_j = whisper_encode(params, cfg, jnp.asarray(mel.numpy().transpose(0, 2, 1)))
+    np.testing.assert_allclose(
+        np.asarray(enc_j), enc_t.numpy(), atol=2e-4, rtol=2e-4
+    )
+
+    logits_j, aux = whisper_decode(
+        params, cfg, jnp.asarray(tokens.numpy().astype(np.int32)), enc_j,
+        collect_lang_cols=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_j), logits_t.numpy(), atol=3e-3, rtol=1e-3
+    )
+    # the CS-loss columns come from the TRUNK self-attention maps
+    qk_ref = torch.stack(maps).numpy()[..., 1:3]
+    np.testing.assert_allclose(
+        np.asarray(aux["qk_cols"]), qk_ref, atol=2e-3, rtol=1e-3
+    )
