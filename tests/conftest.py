@@ -98,6 +98,7 @@ _SLOW = {
     "test_whisper_model.py::test_unroll_layers_matches_scan",
     "test_trainer_parity.py::test_training_trajectory_matches_reference",
     "test_trainer_parity.py::test_training_trajectory_matches_reference_pe",
+    "test_trainer_parity.py::test_training_trajectory_matches_reference_side",
     "test_timing.py::test_find_word_alignment_end_to_end",
     "test_attention_ops.py::test_packed_flash_chunked_grad_parity",
     "test_attention_ops.py::test_packed_flash_spmd_batch_sharding",
