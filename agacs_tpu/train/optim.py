@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import dataclasses
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -79,3 +80,50 @@ def build_optimizer(
         chain.append(optax.clip_by_global_norm(config.grad_clip))
     chain.append(opt if trainable is None else optax.masked(opt, trainable))
     return optax.chain(*chain), schedule
+
+
+class SkipNonfiniteState(NamedTuple):
+    """State for `skip_nonfinite_by_gnorm`. The field name
+    `total_notfinite` is part of the trainer contract
+    (train/trainer.py reads it into stats["grad_nonfinite_total"])."""
+
+    inner_state: Any
+    total_notfinite: jax.Array
+
+
+def skip_nonfinite_by_gnorm(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Skip the whole optimizer update when the gradient NORM is not
+    finite — the reference's exact criterion (`trainer.py:668-694`:
+    clip_grad_norm_ then `if not isfinite(grad_norm): skip`).
+
+    Replaces optax.apply_if_finite, which tests every gradient leaf
+    separately: on the full-FT conformer/transducer steps those ~55
+    per-leaf isfinite reductions cost ~7 ms/step (round-4 xplane).
+    The global norm here CSEs with the one the clip stage and the
+    trainer's stats already compute, so the check is ~free; on a
+    non-finite step the updates are zeroed and the inner state is
+    rolled back, exactly like apply_if_finite."""
+
+    def init(params):
+        return SkipNonfiniteState(tx.init(params), jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params=None):
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        # zero the grads on a bad step so nan/inf cannot poison the
+        # inner update math whose outputs we discard
+        safe = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_inner = tx.update(safe, state.inner_state, params)
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
+        )
+        new_inner = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_inner, state.inner_state
+        )
+        return updates, SkipNonfiniteState(
+            new_inner, state.total_notfinite + (1 - finite.astype(jnp.int32))
+        )
+
+    return optax.GradientTransformation(init, update)

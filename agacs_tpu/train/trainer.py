@@ -63,7 +63,9 @@ def build_tx(
     mask = trainable_mask(params, freeze_preset)
     tx, _ = build_optimizer(optim_cfg, trainable=mask)
     if skip_nonfinite:
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=10**6)
+        from agacs_tpu.train.optim import skip_nonfinite_by_gnorm
+
+        tx = skip_nonfinite_by_gnorm(tx)
     return tx, mask
 
 
