@@ -30,6 +30,7 @@ import json
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -55,6 +56,57 @@ def count_language_heads(p_cols: jnp.ndarray, n_rows: jnp.ndarray | None = None)
         total = n_rows.astype(jnp.float32)[None, :, None]
     is_lang_head = (2.0 * lang_mass > total).astype(jnp.int32)
     return jnp.sum(is_lang_head, axis=1)  # (L, h)
+
+
+def count_language_heads_topk(
+    maps: jnp.ndarray, k: int = 2, lang_cols: tuple[int, int] = (1, 2)
+) -> jnp.ndarray:
+    """The OLD top-k counting formulation (espnet_model.py:312-363
+    `check_attention_language` — dead code in the reference, kept behind
+    `--criterion topk_old` for inventory completeness).
+
+    A head qualifies for an utterance when the zh/en prompt columns
+    (absolute columns 1 and 2) are the two most frequent members of the
+    per-row top-`k` attention columns: argsort each row of the (T, T)
+    map descending, take the first k column ids per row, histogram them
+    over all rows, and require {1, 2} == the top-k of that histogram.
+
+    Ties in the histogram resolve to the SMALLER column id — the same
+    order the reference gets from torch.unique (ascending elements) +
+    a stable sort by count.
+
+    Args:
+      maps: (L, B, h, T, T) collected decoder self-attention maps
+        (aux["maps"] of `whisper_decode(collect_full_maps=True)`;
+        pre-softmax scores, as the reference feeds it — argsort is
+        monotone-invariant so probabilities give identical counts).
+
+    Returns (L, h) int32 per-batch counts; accumulate like
+    `count_language_heads`.
+    """
+    n_l, b, n_h, t, _ = maps.shape
+    # per-row top-k column ids; -inf-masked causal entries sort last
+    _, idx = jax.lax.top_k(maps, k)  # (L, B, h, T, k)
+    hist = jnp.sum(
+        jax.nn.one_hot(idx, t, dtype=jnp.float32), axis=(-3, -2)
+    )  # (L, B, h, T): how often each column made a row's top-k
+    # top-k of the histogram, smaller column id on ties: argsort the
+    # (count, -col) pair encoded as count * t - col
+    order_key = hist * t - jnp.arange(t, dtype=jnp.float32)
+    _, top_cols = jax.lax.top_k(order_key, k)  # (L, B, h, k)
+    # a column with count 0 never enters the reference's dict — require
+    # presence in the histogram as well as in the top-k
+    qualifies = jnp.all(
+        jnp.stack(
+            [
+                jnp.any(top_cols == c, axis=-1) & (hist[..., c] > 0)
+                for c in lang_cols
+            ],
+            axis=0,
+        ),
+        axis=0,
+    )  # (L, B, h)
+    return jnp.sum(qualifies.astype(jnp.int32), axis=1)
 
 
 def select_heads(

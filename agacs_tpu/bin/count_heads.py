@@ -19,7 +19,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from agacs_tpu.adapt.head_selection import count_language_heads, save_counts, select_heads
+from agacs_tpu.adapt.head_selection import (
+    count_language_heads,
+    count_language_heads_topk,
+    save_counts,
+    select_heads,
+)
 from agacs_tpu.data import ASRDataset, collate_batch, num_elements_batches
 from agacs_tpu.models.asr_model import ASRModelConfig, encode, init_asr_params
 from agacs_tpu.models.whisper import whisper_decode
@@ -37,6 +42,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--head_percentage", type=float, default=100.0)
     p.add_argument("--batch_bins", type=int, default=2_000_000)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument(
+        "--criterion", choices=["mass", "topk_old"], default="mass",
+        help="'mass' = the live new_check_attention_language criterion; "
+        "'topk_old' = the reference's dead old top-k formulation "
+        "(espnet_model.py:312-363), needs full (T, T) maps",
+    )
     return p
 
 
@@ -54,14 +65,21 @@ def main(argv: list[str] | None = None) -> dict:
     if args.params:
         params = load_pytree_like(args.params, params)
 
+    topk_old = args.criterion == "topk_old"
+
     @jax.jit
     def batch_counts(params, speech, speech_lengths, text):
         enc_out, _ = encode(params, cfg, speech, speech_lengths, train=False)
         ys_in, _ = add_sos_eos(text, cfg.sos, cfg.eos, cfg.ignore_id)
         _, aux = whisper_decode(
             params, cfg.whisper, ys_in, enc_out,
-            src_layer=0, collect_lang_cols=True, need_probs=True,
+            src_layer=0,
+            collect_lang_cols=not topk_old,
+            collect_full_maps=topk_old,
+            need_probs=not topk_old,
         )
+        if topk_old:
+            return count_language_heads_topk(aux["maps"])
         return count_language_heads(aux["p_cols"])
 
     ds = ASRDataset(args.data_dir, with_cs_labels=False)

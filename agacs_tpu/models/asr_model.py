@@ -86,6 +86,21 @@ class ASRModelConfig:
     head_mask: tuple | None = None
 
     def __post_init__(self):
+        if (
+            self.cs_weight != 0.0
+            and self.cs_loss_type == "lid_ce"
+            and self.whisper.part("decoder").pe_attention
+        ):
+            # lid_ce reads PRE-softmax logits from aux["maps"], but the
+            # pe_attention decoder emits the post-softmax mixed
+            # probability map there (models/whisper.py qkv_attention
+            # 'w if pe else qk') — log_softmax over probabilities would
+            # be silently wrong, so reject the combination up front.
+            raise ValueError(
+                "cs_loss_type 'lid_ce' is incompatible with a pe_attention "
+                "decoder: the PE map collection is post-softmax; use "
+                "cs_loss_type 'attention' (p_cols) with PE decoders"
+            )
         if self.interctc_weight != 0.0:
             # interCTC taps exist on the conformer encoder
             # (models/conformer_asr.py); the whisper encoder has none.

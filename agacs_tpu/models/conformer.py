@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from agacs_tpu.models.whisper import layer_norm, linear
-from agacs_tpu.ops import decode_attn
+from agacs_tpu.ops import decode_attn, relpos_flash
 
 Params = Any
 
@@ -246,23 +246,37 @@ def _rel_attn(p: Params, x: jax.Array, pos: jax.Array, key_mask: jax.Array, n_he
     b, t, d = x.shape
     dk = d // n_head
 
+    q = linear(x, p["q"])  # packed (B, T, d)
+    k = linear(x, p["k"])
+    v = linear(x, p["v"])
+    pe = linear(pos, {"w": p["pos"]["w"]})  # (2T-1, d)
+    # per-head bias add in packed layout: (h, dk) -> (d,) concatenated
+    qu = q + p["pos_bias_u"].reshape(d).astype(q.dtype)
+    qv = q + p["pos_bias_v"].reshape(d).astype(q.dtype)
+
+    if relpos_flash.supports(t, d, n_head, q.dtype):
+        # packed flash kernel: no head-split transposes, no HBM (T, T)
+        # score tensors, rel_shift as an in-VMEM lane rotate
+        # (ops/relpos_flash.py; docs/PERF.md round-5)
+        mask = jnp.where(key_mask, 0.0, relpos_flash.NEG_MASK).astype(
+            jnp.float32
+        )
+        out = relpos_flash.relpos_mha(
+            qu, qv, k, v, relpos_flash.pad_pe(pe, t), mask, n_head,
+            relpos_flash.interpret_requested(),
+        )
+        return linear(out, p["out"])
+
     def heads(y):
         return y.reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
 
-    q = heads(linear(x, p["q"]))
-    k = heads(linear(x, p["k"]))
-    v = heads(linear(x, p["v"]))
-    pe = linear(pos, {"w": p["pos"]["w"]})  # (2T-1, d)
-    pe = pe.reshape(2 * t - 1, n_head, dk).transpose(1, 0, 2)  # (h, 2T-1, dk)
-
-    qu = q + p["pos_bias_u"].astype(q.dtype)[None, :, None, :]
-    qv = q + p["pos_bias_v"].astype(q.dtype)[None, :, None, :]
-    ac = jnp.einsum("bhqd,bhkd->bhqk", qu, k)
-    bd = _rel_shift(jnp.einsum("bhqd,hpd->bhqp", qv, pe))
+    peh = pe.reshape(2 * t - 1, n_head, dk).transpose(1, 0, 2)  # (h, 2T-1, dk)
+    ac = jnp.einsum("bhqd,bhkd->bhqk", heads(qu), heads(k))
+    bd = _rel_shift(jnp.einsum("bhqd,hpd->bhqp", heads(qv), peh))
     score = (ac + bd).astype(jnp.float32) / math.sqrt(dk)
     score = jnp.where(key_mask[:, None, None, :], score, -jnp.inf)
     w = jax.nn.softmax(score, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, heads(v))
     return linear(out.transpose(0, 2, 1, 3).reshape(b, t, d), p["out"])
 
 

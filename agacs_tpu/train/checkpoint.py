@@ -67,8 +67,10 @@ def load_pytree_like(path: str, template: Any) -> Any:
 def save_opt_state(path: str, opt_state: Any) -> None:
     """Keyed by pytree path (not flat index), so a structural change in the
     optimizer config fails loudly on resume instead of silently loading
-    wrong leaves."""
-    np.savez(path, **dict(_flatten_with_names(opt_state)))
+    wrong leaves. Leaves sharded across hosts (optim_state_shard moments
+    under a multi-host data axis) are allgathered first — np.asarray on a
+    non-fully-addressable array raises."""
+    np.savez(path, **dict(_flatten_with_names(_to_host_replicated(opt_state))))
 
 
 def load_opt_state_like(path: str, template: Any) -> Any:

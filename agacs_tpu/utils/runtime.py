@@ -38,10 +38,25 @@ def setup(cache_dir: str | None = None) -> None:
     import re
 
     plat = (os.environ.get("JAX_PLATFORMS") or "default").replace(",", "_")
-    m = re.search(
-        r"host_platform_device_count=(\d+)", os.environ.get("XLA_FLAGS", "")
-    )
-    cache_dir = os.path.join(cache_dir, f"{plat}_d{m.group(1) if m else 1}")
+    try:
+        # If the backend is ALREADY live (multi-process workers call
+        # jax.distributed.initialize before the CLI main), use the real
+        # topology — two TPU processes with different device counts must
+        # not share a namespace. Never INITIALIZE the backend here:
+        # setup() runs before jax.distributed.initialize in single-process
+        # CLIs, and an eager device_count() would break rendezvous.
+        from jax._src import xla_bridge as _xb
+
+        n_dev = jax.device_count() if _xb._backends else None
+    except Exception:
+        n_dev = None
+    if n_dev is None:
+        m = re.search(
+            r"host_platform_device_count=(\d+)",
+            os.environ.get("XLA_FLAGS", ""),
+        )
+        n_dev = int(m.group(1)) if m else 1
+    cache_dir = os.path.join(cache_dir, f"{plat}_d{n_dev}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
