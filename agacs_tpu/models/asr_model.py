@@ -197,14 +197,24 @@ def forward(
     stats = {"loss_att": loss_att, "acc": acc}
 
     if cfg.ctc_weight != 0.0:
-        ctc_logits = jnp.dot(
-            enc_out, params["ctc"]["w"].astype(enc_out.dtype)
-        ) + params["ctc"]["b"].astype(enc_out.dtype)
+        from agacs_tpu.ops import vocab_lse
+
         text_lens = jnp.sum(text != cfg.ignore_id, axis=-1)
-        loss_ctc = ctc_loss(
-            ctc_logits.astype(jnp.float32), enc_lens,
-            jnp.where(text == cfg.ignore_id, 0, text), text_lens,
-        )
+        if vocab_lse.use_streaming():
+            from agacs_tpu.train.losses import ctc_loss_streaming
+
+            loss_ctc = ctc_loss_streaming(
+                enc_out, params["ctc"]["w"], params["ctc"]["b"],
+                enc_lens, text, text_lens,
+            )
+        else:
+            ctc_logits = jnp.dot(
+                enc_out, params["ctc"]["w"].astype(enc_out.dtype)
+            ) + params["ctc"]["b"].astype(enc_out.dtype)
+            loss_ctc = ctc_loss(
+                ctc_logits.astype(jnp.float32), enc_lens,
+                jnp.where(text == cfg.ignore_id, 0, text), text_lens,
+            )
         stats["loss_ctc"] = loss_ctc
         loss = cfg.ctc_weight * loss_ctc + (1.0 - cfg.ctc_weight) * loss_att
     else:

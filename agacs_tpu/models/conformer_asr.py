@@ -30,6 +30,7 @@ from agacs_tpu.train.losses import (
     IGNORE_ID,
     add_sos_eos,
     ctc_loss,
+    ctc_loss_streaming,
     label_smoothing_loss,
     th_accuracy,
 )
@@ -189,12 +190,25 @@ def forward(params, cfg: ConformerASRConfig, batch, train=True, rng=None,
         text_lens = jnp.sum(text != cfg.ignore_id, axis=-1)
         labels_safe = jnp.where(text == cfg.ignore_id, 0, text)
 
-        def head_loss(h):
-            logits = (
-                jnp.dot(h, params["ctc"]["w"].astype(h.dtype))
-                + params["ctc"]["b"].astype(h.dtype)
-            ).astype(jnp.float32)
-            return ctc_loss(logits, enc_lens, labels_safe, text_lens)
+        from agacs_tpu.ops import vocab_lse
+
+        if vocab_lse.use_streaming():
+            # streaming head: (B, T, V) logits never reach HBM
+            # (ops/vocab_lse.py; −21 ms/step at the bench shape,
+            # docs/PERF.md round-5). Value-parity tested vs the dense
+            # path in tests/test_vocab_lse.py.
+            def head_loss(h):
+                return ctc_loss_streaming(
+                    h, params["ctc"]["w"], params["ctc"]["b"],
+                    enc_lens, text, text_lens,
+                )
+        else:
+            def head_loss(h):
+                logits = (
+                    jnp.dot(h, params["ctc"]["w"].astype(h.dtype))
+                    + params["ctc"]["b"].astype(h.dtype)
+                ).astype(jnp.float32)
+                return ctc_loss(logits, enc_lens, labels_safe, text_lens)
 
         loss_ctc = head_loss(enc_out)
         stats["loss_ctc"] = loss_ctc

@@ -153,7 +153,20 @@ def losses_from_encoder(params, cfg: TransducerASRConfig, batch, enc_out,
     dec_out = transducer_decoder(
         params["transducer"], cfg.decoder, decoder_in, train=train, rng=dec_rng
     )
-    if cfg.joint_chunk_t:
+    from agacs_tpu.ops import vocab_lse
+
+    if vocab_lse.use_streaming() and cfg.decoder.vocab_size >= 1024:
+        from agacs_tpu.train.rnnt_loss import rnnt_loss_from_blank_emit
+
+        blank_lp, emit = _blank_emit_streaming(
+            params["transducer"], cfg.decoder, enc_out, dec_out,
+            targets, blank,
+        )
+        loss_trans = rnnt_loss_from_blank_emit(
+            blank_lp, emit, enc_lens, u_lens,
+            fastemit_lambda=cfg.fastemit_lambda,
+        )
+    elif cfg.joint_chunk_t:
         from agacs_tpu.train.rnnt_loss import rnnt_loss_from_blank_emit
 
         blank_lp, emit = _blank_emit_chunked(
@@ -177,11 +190,21 @@ def losses_from_encoder(params, cfg: TransducerASRConfig, batch, enc_out,
     stats = {"loss_transducer": loss_trans}
 
     if cfg.ctc_weight > 0.0:
-        ctc_logits = (
-            jnp.dot(enc_out, params["ctc"]["w"].astype(enc_out.dtype))
-            + params["ctc"]["b"].astype(enc_out.dtype)
-        ).astype(jnp.float32)
-        loss_ctc = ctc_loss(ctc_logits, enc_lens, targets, u_lens)
+        from agacs_tpu.ops import vocab_lse
+
+        if vocab_lse.use_streaming():
+            from agacs_tpu.train.losses import ctc_loss_streaming
+
+            loss_ctc = ctc_loss_streaming(
+                enc_out, params["ctc"]["w"], params["ctc"]["b"],
+                enc_lens, targets, u_lens,
+            )
+        else:
+            ctc_logits = (
+                jnp.dot(enc_out, params["ctc"]["w"].astype(enc_out.dtype))
+                + params["ctc"]["b"].astype(enc_out.dtype)
+            ).astype(jnp.float32)
+            loss_ctc = ctc_loss(ctc_logits, enc_lens, targets, u_lens)
         stats["loss_ctc"] = loss_ctc
         loss = loss_trans + cfg.ctc_weight * loss_ctc
     else:
@@ -210,6 +233,59 @@ def eval_step_with_greedy(params, cfg: TransducerASRConfig, batch,
         max_symbols=max_symbols,
     )
     return stats, (tokens, n)
+
+
+def _blank_emit_streaming(tparams, dcfg, enc_out, dec_out, targets, blank):
+    """blank_lp (B, T, U+1) and emit (B, T, U) log-probs with the
+    (B, T, U+1, V) joint LOGITS never reaching HBM.
+
+    The joint-space activations h = act(lin_enc(enc)+lin_dec(dec)) ARE
+    materialized — (B, T, U+1, j) bf16 is ~80 MB at the bench shape, vs
+    26 GB for the f32 logits lattice — and the V-dimension reduction
+    runs through the streaming lse kernel (ops/vocab_lse.py). The
+    blank/target logits are exact matmuls against the gathered output
+    columns; log-probs follow as z − lse. Same decomposition the chunked
+    path feeds rnnt_loss_from_blank_emit with, minus the lattice
+    materialization AND minus the reference path's f32 joint cast (the
+    h matmuls run bf16 like the rest of training; parity in
+    tests/test_vocab_lse.py).
+    """
+    from agacs_tpu.models.transducer import _act
+    from agacs_tpu.ops import vocab_lse
+
+    jp = tparams["joint"]
+    b, t, _ = enc_out.shape
+    u1 = dec_out.shape[1]
+    u_max = targets.shape[1]
+    cd = jnp.bfloat16
+    encp = (
+        enc_out.astype(cd) @ jp["lin_enc"]["w"].astype(cd)
+        + jp["lin_enc"]["b"].astype(cd)
+    )  # (B, T, j)
+    decp = dec_out.astype(cd) @ jp["lin_dec"]["w"].astype(cd)  # (B, U+1, j)
+    h = _act(dcfg.joint_activation)(
+        encp[:, :, None, :] + decp[:, None, :, :]
+    )  # (B, T, U+1, j) bf16
+    jdim = h.shape[-1]
+    w_out = jp["lin_out"]["w"].astype(cd)  # (j, V)
+    b_out = jp["lin_out"]["b"].astype(jnp.float32)
+    lse = vocab_lse.streaming_lse(
+        h.reshape(b * t * u1, jdim), w_out, b_out,
+        vocab_lse.interpret_requested(),
+    ).reshape(b, t, u1)
+
+    z_blank = (
+        jnp.einsum("btuj,j->btu", h, w_out[:, blank],
+                   preferred_element_type=jnp.float32)
+        + b_out[blank]
+    )
+    w_tgt = jnp.take(w_out.T, targets, axis=0)  # (B, U, j)
+    z_emit = (
+        jnp.einsum("btuj,buj->btu", h[:, :, :u_max], w_tgt,
+                   preferred_element_type=jnp.float32)
+        + b_out[targets][:, None, :]
+    )
+    return z_blank - lse, z_emit - lse[:, :, :u_max]
 
 
 def _blank_emit_chunked(tparams, dcfg, enc_out, dec_out, targets, blank,

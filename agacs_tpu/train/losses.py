@@ -125,3 +125,152 @@ def ctc_loss(
     )
     per_seq = jnp.where(label_lens <= logit_lens, per_seq, 0.0)
     return jnp.mean(per_seq)
+
+
+NEG_LL = -1e30  # log-domain "impossible" (finite: -inf - -inf would NaN)
+
+
+def ctc_loss_from_planes(
+    lp_blank: jax.Array,
+    lp_label: jax.Array,
+    logit_lens: jax.Array,
+    labels: jax.Array,
+    label_lens: jax.Array,
+) -> jax.Array:
+    """CTC negative log-likelihood from the TWO log-prob planes the
+    lattice actually reads — lp_blank (B, T) and lp_label (B, T, U) (the
+    label-token log-probs) — so callers never materialize (B, T, V)
+    (ops/vocab_lse.py; the same decomposition rnnt_loss_from_blank_emit
+    uses for the transducer).
+
+    Standard alpha recursion over the extended sequence
+    [blank, l1, blank, ..., lU, blank] (S = 2U+1):
+      alpha[t, s] = em[t, s] + logaddexp(alpha[t-1, s], alpha[t-1, s-1],
+                                         alpha[t-1, s-2] if skip allowed)
+    with the skip into label state u allowed iff labels[u] != labels[u-1].
+    Value-matches `ctc_loss` (optax dense path) to f32 tolerance; same
+    zero_infinity masking.
+    """
+    b, t_max, u_max = lp_label.shape
+    s_max = 2 * u_max + 1
+
+    # emission table per t: even s -> blank, odd s=2u+1 -> label u
+    def emissions(lpb_t, lpl_t):
+        # lpb_t (B,), lpl_t (B, U) -> (B, S)
+        even = jnp.broadcast_to(lpb_t[:, None], (b, u_max + 1))
+        pairs = jnp.stack([even[:, :u_max], lpl_t], axis=2).reshape(
+            b, 2 * u_max
+        )
+        return jnp.concatenate([pairs, even[:, u_max:]], axis=1)
+
+    # skip-transition mask over s (B, S): odd s=2u+1 with u>=1 and
+    # labels[u] != labels[u-1]
+    s_ids = jnp.arange(s_max)
+    is_label = (s_ids % 2) == 1
+    u_of_s = jnp.maximum((s_ids - 1) // 2, 0)
+    lab_s = jnp.take_along_axis(
+        labels, jnp.broadcast_to(u_of_s[None, :], (b, s_max)), axis=1
+    )
+    lab_prev = jnp.take_along_axis(
+        labels,
+        jnp.broadcast_to(jnp.maximum(u_of_s - 1, 0)[None, :], (b, s_max)),
+        axis=1,
+    )
+    skip_ok = (
+        is_label[None, :] & (s_ids[None, :] >= 3) & (lab_s != lab_prev)
+    )
+
+    def shift1(a):
+        return jnp.concatenate(
+            [jnp.full((b, 1), NEG_LL, a.dtype), a[:, :-1]], axis=1
+        )
+
+    def shift2(a):
+        return jnp.concatenate(
+            [jnp.full((b, 2), NEG_LL, a.dtype), a[:, :-2]], axis=1
+        )
+
+    def lae(x, y):
+        m = jnp.maximum(x, y)
+        return m + jnp.log1p(jnp.exp(-jnp.abs(x - y)))
+
+    lpb_rows = jnp.moveaxis(lp_blank, 1, 0)      # (T, B)
+    lpl_rows = jnp.moveaxis(lp_label, 1, 0)      # (T, B, U)
+
+    em0 = emissions(lpb_rows[0], lpl_rows[0])
+    alpha0 = jnp.where(s_ids[None, :] < 2, em0, NEG_LL)
+    # t=0 row exists only if the utterance has frames at all
+    alpha0 = jnp.where(logit_lens[:, None] > 0, alpha0, NEG_LL)
+
+    def step(alpha, xs):
+        t, lpb_t, lpl_t = xs
+        em = emissions(lpb_t, lpl_t)
+        prev = lae(alpha, shift1(alpha))
+        prev = lae(prev, jnp.where(skip_ok, shift2(alpha), NEG_LL))
+        new = em + prev
+        # freeze rows past their utterance length
+        new = jnp.where(t < logit_lens[:, None], new, alpha)
+        return new, None
+
+    ts = jnp.arange(1, t_max)
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (ts, lpb_rows[1:], lpl_rows[1:])
+    )
+
+    # ll = logaddexp(alpha[S_end], alpha[S_end-1]),
+    # S_end = 2*label_len (final blank); S_end-1 only if label_len > 0
+    s_end = 2 * label_lens
+    a_end = jnp.take_along_axis(alpha, s_end[:, None], axis=1)[:, 0]
+    a_last = jnp.take_along_axis(
+        alpha, jnp.maximum(s_end - 1, 0)[:, None], axis=1
+    )[:, 0]
+    ll = jnp.where(label_lens > 0, lae(a_end, a_last), a_end)
+    nll = -ll
+    feasible = (label_lens <= logit_lens) & (logit_lens > 0)
+    nll = jnp.where(feasible, nll, 0.0)
+    return jnp.mean(nll)
+
+
+def ctc_loss_streaming(
+    enc: jax.Array,
+    w: jax.Array,
+    bias: jax.Array,
+    logit_lens: jax.Array,
+    labels: jax.Array,
+    label_lens: jax.Array,
+    blank_id: int = 0,
+) -> jax.Array:
+    """CTC loss straight from encoder output + head weights, with the
+    (B, T, V) logits never leaving VMEM.
+
+      lse      — streaming Pallas kernel (ops/vocab_lse.py)
+      gathers  — exact XLA matmuls against the blank + label COLUMNS of W
+                 (a (d, U+1)-sized gather; scatter-add grads come from
+                 take/einsum autodiff)
+
+    Value-parity with `ctc_loss(dense logits)` is tested in
+    tests/test_vocab_lse.py. enc: (B, T, d); w: (d, V) f32 params;
+    bias: (V,).
+    """
+    from agacs_tpu.ops import vocab_lse
+
+    b, t, d = enc.shape
+    labels_safe = jnp.where(labels == IGNORE_ID, 0, labels)
+    cols = jnp.concatenate(
+        [jnp.full((b, 1), blank_id, labels.dtype), labels_safe], axis=1
+    )  # (B, U+1)
+    wc = w.astype(enc.dtype)
+    lse = vocab_lse.streaming_lse(
+        enc.reshape(b * t, d), wc, bias.astype(jnp.float32),
+        vocab_lse.interpret_requested(),
+    ).reshape(b, t)
+    # W[:, cols]: (B, d, U+1) — tiny, exact
+    w_g = jnp.moveaxis(jnp.take(wc.T, cols, axis=0), 1, 2)
+    zg = jnp.einsum(
+        "btd,bdu->btu", enc, w_g, preferred_element_type=jnp.float32
+    ) + bias[cols][:, None, :]
+    lp_blank = zg[..., 0] - lse
+    lp_label = zg[..., 1:] - lse[..., None]
+    return ctc_loss_from_planes(
+        lp_blank, lp_label, logit_lens, labels_safe, label_lens
+    )

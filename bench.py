@@ -53,7 +53,9 @@ FULL = os.environ.get("AGACS_BENCH_FULL", "") not in ("", "0")
 # headline only start while elapsed < budget - ~row cost, so the run
 # always ends with a parseable line instead of dying mid-row.
 BUDGET_S = float(os.environ.get("AGACS_BENCH_BUDGET", "540"))
-ROW_COST_S = 100.0  # measured warm per-row cost upper bound (~60-90 s)
+ROW_COST_S = 160.0  # measured warm per-row cost upper bound (round 5:
+# the conformer row compiles the rel-pos flash + vocab-lse kernels,
+# ~150 s cold incl. measurement)
 
 
 def _log(msg: str) -> None:
@@ -259,9 +261,15 @@ def _conformer_batch(batch: int, seconds: int, vocab: int = 51865):
     }
 
 
-def bench_conformer(batch_size: int = 16, seconds: int = 15) -> dict:
+def bench_conformer(batch_size: int = 16, seconds: int = 15,
+                    unroll: bool = False) -> dict:
     """SEAME conformer hybrid CTC/attention train step
-    (recipes/seame/conf/train_asr_conformer.yaml shape census pack)."""
+    (recipes/seame/conf/train_asr_conformer.yaml shape census pack).
+
+    unroll=True benches the SHIPPED recipe config (encoder_conf
+    unroll_layers: true) — full-matrix only: the unrolled compile is
+    ~150 s cold and assumes a warm persistent cache in the driver
+    budget (docs/PERF.md round-4 conformer forensics)."""
     from agacs_tpu.train.optim import OptimConfig
     from agacs_tpu.train.trainer import (
         build_tx,
@@ -273,6 +281,7 @@ def bench_conformer(batch_size: int = 16, seconds: int = 15) -> dict:
     task = task_from_dict({
         "encoder": "conformer",
         "decoder": "transformer",
+        "encoder_conf": {"unroll_layers": unroll},
         "model_conf": {"ctc_weight": 0.3, "lsm_weight": 0.1},
         "frontend_conf": {"n_fft": 512, "hop_length": 128, "n_mels": 80},
         "normalize": "utterance_mvn",
@@ -398,6 +407,10 @@ def main():
         _emit(matrix, best)
 
     if FULL:
+        # the SHIPPED conformer recipe config (unroll_layers: true) —
+        # regression row for the exact YAML users run (docs/PERF.md)
+        add("conformer_16x15s_unroll", bench_conformer(unroll=True),
+            headline_family=False)
         _emit(matrix, best, _bench_inference())
     # skip the jax client teardown: it drains the tunnel session for
     # MINUTES (measured up to 7 min) — everything is printed and flushed
