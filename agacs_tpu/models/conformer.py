@@ -246,9 +246,9 @@ def _rel_attn(p: Params, x: jax.Array, pos: jax.Array, key_mask: jax.Array, n_he
     b, t, d = x.shape
     dk = d // n_head
 
-    q = linear(x, p["q"])  # packed (B, T, d)
-    k = linear(x, p["k"])
-    v = linear(x, p["v"])
+    from agacs_tpu.models.whisper import fused_linears
+
+    q, k, v = fused_linears(x, [p["q"], p["k"], p["v"]])  # packed (B, T, d)
     pe = linear(pos, {"w": p["pos"]["w"]})  # (2T-1, d)
     # per-head bias add in packed layout: (h, dk) -> (d,) concatenated
     qu = q + p["pos_bias_u"].reshape(d).astype(q.dtype)

@@ -30,6 +30,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from agacs_tpu.ops import decode_attn
 
@@ -186,6 +187,41 @@ def linear(x: jax.Array, p: Params) -> jax.Array:
     return y
 
 
+def fused_linears(x: jax.Array, ps: list) -> list:
+    """Several linears over the SAME input as ONE matmul on the lane-
+    concatenated weights (q/k/v projections, cross k/v).
+
+    XLA does not merge separate dots sharing an LHS, so the unfused form
+    reads the activation from HBM once per projection; on the int8 trunk
+    it also re-quantizes it once per projection (the round-4 stall
+    budget's abs_reduce_fusion class). The fused form reads and
+    row-quantizes x ONCE and runs one better-shaped (d, n·d) MXU pass —
+    numerically identical (same per-channel scales; the row scale of x
+    is per-row, weight-independent). Falls back to per-projection calls
+    when the params mix quantized and dense weights."""
+    if all("w_q" in p for p in ps):
+        from agacs_tpu.ops.int8_linear import int8_matmul
+
+        w_cat = jnp.concatenate([p["w_q"] for p in ps], axis=-1)
+        s_cat = jnp.concatenate([p["w_s"] for p in ps], axis=-1)
+        y = checkpoint_name(int8_matmul(x, w_cat, s_cat), "int8_linear_out")
+    elif all("w_q" not in p for p in ps):
+        w_cat = jnp.concatenate([p["w"] for p in ps], axis=-1)
+        y = jnp.dot(x, w_cat.astype(x.dtype))
+    else:
+        return [linear(x, p) for p in ps]
+    outs = []
+    off = 0
+    for p in ps:
+        d = (p["w_q"] if "w_q" in p else p["w"]).shape[-1]
+        part = y[..., off:off + d]
+        if "b" in p:
+            part = part + p["b"].astype(part.dtype)
+        outs.append(part)
+        off += d
+    return outs
+
+
 def gelu(x: jax.Array) -> jax.Array:
     # torch F.gelu default = exact erf formulation
     return jax.nn.gelu(x, approximate=False)
@@ -335,9 +371,13 @@ def mha(
     materializes.
     """
     kv_in = x if xa is None else xa
-    q = linear(x, p["query"])
-    k = linear(kv_in, p["key"])
-    v = linear(kv_in, p["value"])
+    if xa is None:
+        # one matmul + one activation (row-)quant for all three
+        # projections (docs/PERF.md round-5 fused-QKV lever)
+        q, k, v = fused_linears(x, [p["query"], p["key"], p["value"]])
+    else:
+        q = linear(x, p["query"])
+        k, v = fused_linears(xa, [p["key"], p["value"]])
 
     d_head = q.shape[-1] // n_head
     scale = d_head ** -0.25
@@ -432,6 +472,15 @@ def adapter_fwd(p: Params, x: jax.Array) -> jax.Array:
 
 
 def mlp_fwd(p: Params, x: jax.Array) -> jax.Array:
+    if "w_q" in p["fc1"] and "w_q" in p["fc2"]:
+        from agacs_tpu.ops import int8_mlp
+
+        d = p["fc1"]["w_q"].shape[0]
+        h = p["fc1"]["w_q"].shape[1]
+        if int8_mlp.supports(d, h):
+            # fused megakernel: hidden activations stay in VMEM
+            # (ops/int8_mlp.py; docs/PERF.md round-5)
+            return int8_mlp.int8_mlp(x, p["fc1"], p["fc2"])
     return linear(gelu(linear(x, p["fc1"])), p["fc2"])
 
 

@@ -217,3 +217,99 @@ def test_train_step_int8_under_remat(tok):  # noqa: F811
     step = make_train_step(cfg, tx, trainable_mask=mask, donate=False)
     _, stats = step(state, _batch(tok))
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_fused_qkv_linears_match_separate():
+    """fused_linears = one matmul on concatenated weights; must equal the
+    per-projection path bit-for-bit on the int8 path (same row scale —
+    it depends only on x) and to bf16 tolerance on the dense path."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from agacs_tpu.models.whisper import fused_linears, linear
+    from agacs_tpu.ops.int8_linear import quantize_weight
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(6, 40, 256).astype(np.float32) * 0.3,
+                    jnp.bfloat16)
+
+    def mk(bias):
+        p = {"w": jnp.asarray(rng.randn(256, 256).astype(np.float32) * 0.05)}
+        if bias:
+            p["b"] = jnp.asarray(rng.randn(256).astype(np.float32) * 0.1)
+        return p
+
+    ps = [mk(True), mk(False), mk(True)]  # query, key (no bias), value
+    dense_f = fused_linears(x, ps)
+    dense_s = [linear(x, p) for p in ps]
+    for a, r in zip(dense_f, dense_s):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(r, np.float32), atol=2e-2
+        )
+
+    qs = []
+    for p in ps:
+        q, s = quantize_weight(p["w"])
+        qp = {"w_q": q, "w_s": s}
+        if "b" in p:
+            qp["b"] = p["b"]
+        qs.append(qp)
+    int8_f = fused_linears(x, qs)
+    int8_s = [linear(x, p) for p in qs]
+    for a, r in zip(int8_f, int8_s):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(r, np.float32))
+
+
+def test_int8_mlp_megakernel_matches_unfused():
+    """Fused MLP kernel (interpret mode) vs the int8_linear composition:
+    fwd values and dx within quantization tolerance (the kernel keeps the
+    hidden layer in f32 where the unfused path round-trips bf16)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from agacs_tpu.ops import int8_mlp
+    from agacs_tpu.ops.int8_linear import quantize_weight
+
+    import os
+
+    os.environ["AGACS_INT8_MLP"] = "interpret"
+    try:
+        rng = np.random.RandomState(0)
+        d, h, n = 256, 1024, 300
+        x = jnp.asarray(rng.randn(n, d).astype(np.float32) * 0.5,
+                        jnp.bfloat16)
+        p1 = dict(zip(("w_q", "w_s"), quantize_weight(
+            jnp.asarray(rng.randn(d, h).astype(np.float32) * 0.05))))
+        p1["b"] = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+        p2 = dict(zip(("w_q", "w_s"), quantize_weight(
+            jnp.asarray(rng.randn(h, d).astype(np.float32) * 0.05))))
+        p2["b"] = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+
+        ref = int8_mlp._ref(x, p1, p2)
+        got = int8_mlp.int8_mlp(x, p1, p2)
+        r = np.asarray(ref, np.float32)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), r, atol=3e-2 * np.abs(r).max()
+        )
+        dy = jnp.asarray(rng.randn(n, d).astype(np.float32) * 0.3,
+                         jnp.bfloat16)
+
+        def loss(fn, x_):
+            return jnp.sum(fn(x_).astype(jnp.float32)
+                           * dy.astype(jnp.float32))
+
+        gr = jax.grad(lambda x_: loss(
+            lambda a: int8_mlp._ref(a, p1, p2), x_))(x)
+        gg = jax.grad(lambda x_: loss(
+            lambda a: int8_mlp.int8_mlp(a, p1, p2), x_))(x)
+        gr = np.asarray(gr, np.float32)
+        np.testing.assert_allclose(
+            np.asarray(gg, np.float32), gr, atol=3e-2 * np.abs(gr).max()
+        )
+    finally:
+        os.environ.pop("AGACS_INT8_MLP", None)
