@@ -200,11 +200,18 @@ def fused_linears(x: jax.Array, ps: list) -> list:
     is per-row, weight-independent). Falls back to per-projection calls
     when the params mix quantized and dense weights."""
     if all("w_q" in p for p in ps):
+        from agacs_tpu.ops import int8_serve
         from agacs_tpu.ops.int8_linear import int8_matmul
 
         w_cat = jnp.concatenate([p["w_q"] for p in ps], axis=-1)
         s_cat = jnp.concatenate([p["w_s"] for p in ps], axis=-1)
-        y = checkpoint_name(int8_matmul(x, w_cat, s_cat), "int8_linear_out")
+        if int8_serve.thin_rows(x) and int8_serve.fits(w_cat):
+            y = int8_serve.w8a16_matmul(
+                x, w_cat, s_cat, int8_serve.interpret_requested()
+            )
+        else:
+            y = checkpoint_name(int8_matmul(x, w_cat, s_cat),
+                                "int8_linear_out")
     elif all("w_q" not in p for p in ps):
         w_cat = jnp.concatenate([p["w"] for p in ps], axis=-1)
         y = jnp.dot(x, w_cat.astype(x.dtype))
@@ -477,7 +484,10 @@ def mlp_fwd(p: Params, x: jax.Array) -> jax.Array:
 
         d = p["fc1"]["w_q"].shape[0]
         h = p["fc1"]["w_q"].shape[1]
-        if int8_mlp.supports(d, h):
+        rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        # fat rows only: a decode step's <=32 rows would pad to the
+        # kernel's 256-row block (51x wasted MXU work)
+        if rows >= int8_mlp.TR and int8_mlp.supports(d, h):
             # fused megakernel: hidden activations stay in VMEM
             # (ops/int8_mlp.py; docs/PERF.md round-5)
             return int8_mlp.int8_mlp(x, p["fc1"], p["fc2"])
@@ -1091,7 +1101,16 @@ def whisper_decode_step(
     scale = d_head ** -0.25
     d = cfg.n_text_state
 
-    x = dec["token_emb"][tokens] + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, 0)
+    if "token_emb_q" in dec:
+        # serving-quantized checkpoint (ops/int8_serve.py): dequantize
+        # the few looked-up embedding rows
+        emb = (
+            dec["token_emb_q"][tokens].astype(jnp.float32)
+            * dec["token_emb_s"][tokens][:, None]
+        )
+    else:
+        emb = dec["token_emb"][tokens]
+    x = emb + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, 0)
     x = x.astype(cfg.compute_dtype)[:, None, :]  # (N, 1, d)
 
     # key-position validity mask: positions 0..pos inclusive
@@ -1331,10 +1350,23 @@ def whisper_decode_step(
         new_kv.update(side_new)
     else:
         x = layer_norm(x, dec["ln"])
-    logits = jnp.dot(x[:, 0, :], dec["token_emb"].T.astype(x.dtype)).astype(jnp.float32)
-    if dec["token_emb"].shape[0] > cfg.n_vocab:
-        # tp-padded vocab rows (parallel/mesh.py pad_vocab_rows)
-        logits = logits[..., : cfg.n_vocab]
+    if "logits_w_q" in dec:
+        # W8A16 logits head: the 80 MB bf16 embedding stream halves
+        # (ops/int8_serve.py; padded vocab columns sliced off before any
+        # argmax can see them)
+        from agacs_tpu.ops import int8_serve
+
+        logits = int8_serve.w8a16_matmul(
+            x[:, 0, :], dec["logits_w_q"], dec["logits_w_s"],
+            int8_serve.interpret_requested(),
+        ).astype(jnp.float32)[..., : cfg.n_vocab]
+    else:
+        logits = jnp.dot(
+            x[:, 0, :], dec["token_emb"].T.astype(x.dtype)
+        ).astype(jnp.float32)
+        if dec["token_emb"].shape[0] > cfg.n_vocab:
+            # tp-padded vocab rows (parallel/mesh.py pad_vocab_rows)
+            logits = logits[..., : cfg.n_vocab]
     return logits, new_kv
 
 

@@ -131,8 +131,23 @@ int8_matmul.defvjp(_int8_fwd, _int8_bwd)
 
 
 def int8_linear(x: jax.Array, p) -> jax.Array:
-    """Drop-in for models' `linear()` when p holds {"w_q", "w_s"[, "b"]}."""
-    y = checkpoint_name(int8_matmul(x, p["w_q"], p["w_s"]), "int8_linear_out")
+    """Drop-in for models' `linear()` when p holds {"w_q", "w_s"[, "b"]}.
+
+    Thin-row inputs (serving decode steps: B·beam rows) go through the
+    weight-only W8A16 kernel instead — the W8A8 row quant is VPU-serial
+    and only pays off at training row counts (ops/int8_serve.py;
+    docs/PERF.md round-3/5 serving forensics)."""
+    from agacs_tpu.ops import int8_serve
+
+    if (p["w_q"].ndim == 2 and int8_serve.thin_rows(x)
+            and int8_serve.fits(p["w_q"])):
+        y = int8_serve.w8a16_matmul(
+            x, p["w_q"], p["w_s"], int8_serve.interpret_requested()
+        )
+    else:
+        y = checkpoint_name(
+            int8_matmul(x, p["w_q"], p["w_s"]), "int8_linear_out"
+        )
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y

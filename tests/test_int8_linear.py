@@ -313,3 +313,44 @@ def test_int8_mlp_megakernel_matches_unfused():
         )
     finally:
         os.environ.pop("AGACS_INT8_MLP", None)
+
+
+def test_w8a16_matmul_matches_dequant_xla():
+    """Serving W8A16 kernel (interpret) == x @ dequantized weights, and
+    quantize_for_serving produces both embedding layouts consistently."""
+    import os
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from agacs_tpu.ops import int8_serve
+    from agacs_tpu.ops.int8_linear import dequantize_weight, quantize_weight
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(5, 256).astype(np.float32) * 0.4, jnp.bfloat16)
+    w_q, w_s = quantize_weight(
+        jnp.asarray(rng.randn(256, 1024).astype(np.float32) * 0.05)
+    )
+    got = int8_serve.w8a16_matmul(x, w_q, w_s, True)
+    want = jnp.dot(x, dequantize_weight(w_q, w_s, jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2
+    )
+
+    # quantize_for_serving: row-major and column-major embeddings agree
+    from agacs_tpu.models.whisper import init_whisper_params, make_config
+
+    cfg = make_config("tiny", compute_dtype=jnp.bfloat16)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    qp = int8_serve.quantize_for_serving(params)
+    dec = qp["decoder"]
+    v = cfg.n_vocab
+    np.testing.assert_array_equal(
+        np.asarray(dec["logits_w_q"])[:, :v], np.asarray(dec["token_emb_q"]).T
+    )
+    assert dec["logits_w_q"].shape[1] % 512 == 0
+    # every trunk linear got quantized
+    assert "w_q" in qp["decoder"]["blocks"]["attn"]["query"]
+    assert "w_q" in qp["encoder"]["blocks"]["mlp"]["fc1"]
