@@ -6,12 +6,15 @@ bug, SURVEY §2.1; the ESPnet path never exercises it).
 
 Implemented TPU-first: one jitted KV-cached greedy loop per window with
 the logit filters applied in-graph (`lax.while_loop`), host-side only for
-the sequential seek logic. Deviations from stock, documented:
-  * greedy sampling per window, with the stock temperature-fallback
-    ladder (retry at higher temperatures on compression-ratio /
-    avg-logprob failure — see `transcribe()` below); no beam in this
-    path (use decode/beam.py for beam search with the prompt primer);
-  * condition_on_previous_text is off (no <|startofprev|> prompt).
+the sequential seek logic. Stock prompt conditioning is supported:
+`initial_prompt` and `condition_on_previous_text` feed the
+<|startofprev|> context window exactly as transcribe.py:194-232 /
+decoding.py:591-599 (context bucketed to PROMPT_BUCKETS lengths — a
+bounded-jit-variants TPU deviation). Remaining deviations, documented:
+  * the timestamped path samples greedily per window with the stock
+    temperature-fallback ladder; `beam_size > 1` switches each window
+    to decode/beam.py beam search in stock's without_timestamps mode
+    (window-level segment times).
 
 Timestamp rules replicated from `whisper/decoding.py` ApplyTimestampRules:
   1. <|notimestamps|> suppressed; special tokens suppressed;
@@ -221,6 +224,21 @@ def greedy_decode_timestamps(
     return tokens, lengths, out["sum_lp"]
 
 
+# fixed prompt-context buckets: each distinct primer length compiles its
+# own decode loop, so the <|startofprev|> window is truncated DOWN to the
+# largest bucket that fits instead of taking stock's exact last
+# (n_ctx//2 - 1) tokens — at most len(PROMPT_BUCKETS) compiled variants
+# per process for arbitrary-length audio (deviation documented in
+# `transcribe`; stock itself truncates to the last 223)
+PROMPT_BUCKETS = (0, 8, 16, 32, 64, 128, 223)
+
+
+def _bucket_prompt(prompt_toks: list) -> list:
+    n = len(prompt_toks)
+    b = max(bk for bk in PROMPT_BUCKETS if bk <= n)
+    return prompt_toks[len(prompt_toks) - b:] if b else []
+
+
 def compression_ratio(text: str) -> float:
     """gzip compression ratio — the repetition-loop detector
     (whisper utils.py compression_ratio)."""
@@ -243,6 +261,9 @@ def transcribe(
     logprob_threshold: float | None = -1.0,
     max_steps: int = 224,
     word_timestamps: bool = False,
+    condition_on_previous_text: bool = True,
+    initial_prompt: str | None = None,
+    beam_size: int = 1,
     seed: int = 0,
 ) -> dict:
     """Long-form transcription of arbitrary-length 16 kHz audio
@@ -252,6 +273,23 @@ def transcribe(
     ratio flags a repetition loop or avg logprob is too low,
     transcribe.py decode_with_fallback). With word_timestamps, each
     segment carries cross-attention DTW word timings (decode/timing.py).
+
+    Stock prompt conditioning (transcribe.py:45-46, decoding.py:591-599):
+      * initial_prompt — tokenized as " "+strip() and placed in the
+        <|startofprev|> window of the first decode;
+      * condition_on_previous_text (default True, like stock) — each
+        window's primer carries [<|startofprev|>] + the most recent
+        previously-decoded TEXT tokens + [sot, lang, task]; the context
+        resets after a window decoded at temperature > 0.5
+        (prompt_reset_since). TPU deviation: the context is truncated
+        down to fixed PROMPT_BUCKETS lengths (bounded jit variants)
+        instead of stock's exact last n_ctx//2-1 tokens.
+
+    beam_size > 1 runs each window through decode/beam.py with the
+    same prompt primer and <|notimestamps|> (stock's
+    without_timestamps beam mode): segments then carry window-level
+    times, the temperature ladder is bypassed, and seek advances a full
+    window.
 
     Returns {"text", "segments": [Segment], "language"}.
     """
@@ -271,6 +309,12 @@ def transcribe(
     seek = 0  # samples
     detected = language
     total_dur = len(audio) / SAMPLE_RATE
+
+    # stock prompt-context state (transcribe.py:194-201)
+    all_tokens: list[int] = []
+    prompt_reset_since = 0
+    if initial_prompt is not None:
+        all_tokens.extend(tokenizer.encode(" " + initial_prompt.strip()))
 
     def add_segment(start: float, end: float, txt: str, toks_: list):
         # window timestamps live on the padded 30 s grid; clamp to the
@@ -293,29 +337,54 @@ def transcribe(
         task_token = sp.transcribe if task == "transcribe" else sp.translate
 
         nsp = float(no_speech_probs(params, cfg, enc)[0])
-        primer = jnp.asarray([[sp.sot, lang_token, task_token]], jnp.int32)
+        # <|startofprev|> context window (decoding.py:591-599): the
+        # bucketed tail of the accumulated text tokens
+        prompt_toks = _bucket_prompt(all_tokens[prompt_reset_since:])
+        sot_seq = [sp.sot, lang_token, task_token]
+        primer_list = (
+            [sp.sot_prev] + prompt_toks + sot_seq if prompt_toks else sot_seq
+        )
+        n_primer = len(primer_list)
+        primer = jnp.asarray([primer_list], jnp.int32)
 
-        # decode_with_fallback: escalate temperature until the result
-        # passes the compression-ratio and avg-logprob gates
-        toks, avg_lp = [], 0.0
-        for ti, temp in enumerate(temperature):
-            rng, key = jax.random.split(rng)
-            tokens, lengths, sum_lp = greedy_decode_timestamps(
-                params, cfg, enc, primer, max_steps=max_steps,
-                temperature=float(temp), rng=key,
+        if beam_size > 1:
+            from agacs_tpu.decode.beam import beam_decode
+
+            tokens, lengths, scores = beam_decode(
+                params, cfg, enc, beam_size=beam_size,
+                primer=tuple(primer_list) + (sp.no_timestamps,),
+                max_steps=max_steps,
             )
-            toks = np.asarray(tokens)[0, 3 : int(lengths[0])].tolist()
-            avg_lp = float(sum_lp[0]) / max(len(toks) + 1, 1)
-            text_ids_all = [t for t in toks if t < sp.eot]
-            needs_fallback = False
-            if compression_ratio_threshold is not None and text_ids_all:
-                if (compression_ratio(tokenizer.decode(text_ids_all))
-                        > compression_ratio_threshold):
+            toks = np.asarray(tokens)[0, n_primer + 1 : int(lengths[0])]
+            toks = [int(t) for t in toks]
+            avg_lp = float(scores[0]) / max(len(toks) + 1, 1)
+            chosen_temp = 0.0
+        else:
+            # decode_with_fallback: escalate temperature until the result
+            # passes the compression-ratio and avg-logprob gates
+            toks, avg_lp = [], 0.0
+            chosen_temp = 0.0
+            for ti, temp in enumerate(temperature):
+                rng, key = jax.random.split(rng)
+                tokens, lengths, sum_lp = greedy_decode_timestamps(
+                    params, cfg, enc, primer, max_steps=max_steps,
+                    temperature=float(temp), rng=key,
+                )
+                toks = np.asarray(tokens)[0, n_primer : int(lengths[0])]
+                toks = [int(t) for t in toks]
+                chosen_temp = float(temp)
+                avg_lp = float(sum_lp[0]) / max(len(toks) + 1, 1)
+                text_ids_all = [t for t in toks if t < sp.eot]
+                needs_fallback = False
+                if compression_ratio_threshold is not None and text_ids_all:
+                    if (compression_ratio(tokenizer.decode(text_ids_all))
+                            > compression_ratio_threshold):
+                        needs_fallback = True
+                if (logprob_threshold is not None
+                        and avg_lp < logprob_threshold):
                     needs_fallback = True
-            if logprob_threshold is not None and avg_lp < logprob_threshold:
-                needs_fallback = True
-            if not needs_fallback or ti == len(temperature) - 1:
-                break
+                if not needs_fallback or ti == len(temperature) - 1:
+                    break
 
         seek_time = seek / SAMPLE_RATE
         if nsp > no_speech_threshold and (
@@ -360,6 +429,14 @@ def transcribe(
                 add_segment(seek_time + start, seek_time + end,
                             tokenizer.decode(text_ids), toks)
             seek += CHUNK_SAMPLES
+
+        # prompt-context accumulation (transcribe.py:356-362): the
+        # window's decoded TEXT tokens extend the context; reset after a
+        # hot-temperature window
+        for seg in segments[n_before:]:
+            all_tokens.extend(t for t in seg.tokens if t < sp.eot)
+        if not condition_on_previous_text or chosen_temp > 0.5:
+            prompt_reset_since = len(all_tokens)
 
         if word_timestamps and len(segments) > n_before:
             from agacs_tpu.decode.timing import find_word_alignment

@@ -131,3 +131,77 @@ def test_temperature_fallback_and_word_timestamps():
     assert words
     for w in words:
         assert 0.0 <= w.start <= w.end
+
+
+def test_bucket_prompt_truncation():
+    from agacs_tpu.decode.transcribe import _bucket_prompt
+
+    assert _bucket_prompt(list(range(6))) == []
+    assert _bucket_prompt(list(range(10))) == list(range(2, 10))  # last 8
+    assert _bucket_prompt(list(range(50))) == list(range(18, 50))  # last 32
+    assert _bucket_prompt(list(range(300))) == list(range(77, 300))  # 223
+    assert _bucket_prompt(list(range(16))) == list(range(16))
+
+
+def test_initial_prompt_enters_context_and_not_output(monkeypatch):
+    """Stock prompt semantics (transcribe.py:198-200, decoding.py:591-599):
+    the initial prompt's tokens ride in the <|startofprev|> window of the
+    primer, are NOT part of the emitted text, and with
+    condition_on_previous_text the second window's primer carries the
+    first window's text tokens."""
+    # `agacs_tpu.decode.transcribe` the attribute is the FUNCTION (the
+    # package re-exports it), so fetch the module via importlib
+    import importlib
+
+    tr = importlib.import_module("agacs_tpu.decode.transcribe")
+
+    params = init_whisper_params(jax.random.PRNGKey(4), CFG)
+    audio = (np.random.RandomState(0).randn(CHUNK_SAMPLES * 2)
+             .astype(np.float32) * 0.1)
+
+    primers = []
+    orig = tr.greedy_decode_timestamps
+
+    def spy(params, cfg, enc, primer, **kw):
+        primers.append(np.asarray(primer)[0].tolist())
+        return orig(params, cfg, enc, primer, **kw)
+
+    monkeypatch.setattr(tr, "greedy_decode_timestamps", spy)
+    out = tr.transcribe(
+        params, CFG, audio, language="zh",
+        temperature=(0.0,), logprob_threshold=None,
+        no_speech_threshold=1.1,  # never skip
+        initial_prompt="hello context window of many words here that definitely spans more than sixteen bpe tokens for the bucket",
+        max_steps=8,
+    )
+
+    prompt_ids = []
+    from agacs_tpu.text import WhisperTokenizer
+
+    tok = WhisperTokenizer()
+    prompt_ids = tok.encode(
+        " " + "hello context window of many words here that definitely spans more than sixteen bpe tokens for the bucket".strip()
+    )
+    first = primers[0]
+    # first primer: [sot_prev] + bucketed prompt tail + [sot, lang, task]
+    assert first[0] == SP.sot_prev
+    assert first[-3:] == [SP.sot, SP.lang_id("zh"), SP.transcribe]
+    ctx = first[1:-3]
+    assert ctx and ctx == prompt_ids[len(prompt_ids) - len(ctx):]
+    # prompt text is not emitted
+    assert "hello context window" not in out["text"]
+
+    # a later window's context is fed from DECODED text when anything was
+    # decoded (or stays at the initial prompt if the first window emitted
+    # nothing) — in either case the sot sequence stays at the tail
+    assert all(p[-3:] == first[-3:] for p in primers)
+
+    # condition_on_previous_text=False: later windows have NO context
+    primers.clear()
+    tr.transcribe(
+        params, CFG, audio, language="zh",
+        temperature=(0.0,), logprob_threshold=None,
+        no_speech_threshold=1.1, condition_on_previous_text=False,
+        max_steps=8,
+    )
+    assert all(p[0] == SP.sot for p in primers[1:])
