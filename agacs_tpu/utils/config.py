@@ -132,6 +132,12 @@ def model_config_from_dict(d: dict, compute_dtype: Any = jnp.bfloat16) -> ASRMod
         lsm_weight=float(model_conf.get("lsm_weight", 0.1)),
         length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
         src_layer=int(dec_conf.get("src_layer", 1)),
+        # BEHAVIORAL DEVIATION: with estimate_c: true the learnable
+        # c_val actually FEEDS the CS loss here; the reference creates
+        # the parameter but its live loss never reads it
+        # (whisper_decoder.py:85-86 vs espnet_model.py:463-530 — only
+        # the dead espnet_model_bak.py uses it). A bit-parity run
+        # against the reference must keep estimate_c: false.
         estimate_c=bool(dec_conf.get("estimate_c", False)),
         use_specaug=bool(enc_conf.get("use_specaug", False)),
         specaug=SpecAugConfig.from_dict(enc_conf.get("specaug_conf")),

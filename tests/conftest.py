@@ -136,18 +136,10 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
-    """Release compiled executables after each test module.
-
-    The full suite compiles 1500+ executables in ONE process; each loaded
-    XLA CPU executable holds JIT code mappings (~1.3 /proc/<pid>/maps
-    entries even for a trivial jit), and late in the run the process
-    approaches vm.max_map_count (65530) — observed as repeatable
-    hard crashes (SIGABRT/SIGSEGV inside XLA compile or executable
-    deserialization, always in the same late-collection test,
-    disappearing when the same tests run in a shorter session).
-    Dropping the jit caches lets the dead executables unmap; the
-    persistent disk cache keeps cross-module recompiles cheap."""
-    yield
-    jax.clear_caches()
+# NOTE (round 5): the round-4 module-scoped jax.clear_caches() fixture —
+# a crutch against vm.max_map_count exhaustion when ONE process compiled
+# the whole suite's 1500+ executables — is gone. The supported full-suite
+# runner is now process-sharded (pytest -n auto --dist loadfile; see
+# pytest.ini addopts note), which removes the failure class by
+# construction and cuts the wall time with it. The quick tier is small
+# enough either way.
