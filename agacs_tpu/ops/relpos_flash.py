@@ -116,28 +116,32 @@ def _rev_matrix(t: int, dtype) -> jax.Array:
     return (r + c == t - 1).astype(dtype)
 
 
-def _shift_bwd(ds: jax.Array, t: int, wp: int, j_rev: jax.Array) -> jax.Array:
-    """(T, T) shifted-score grads -> (T, Wp) position-score grads.
+def _shift_bwd_rolled(ds: jax.Array, t: int, wp: int,
+                      j_rev: jax.Array) -> jax.Array:
+    """(T, T) shifted-score grads -> ROW-REVERSED (T, Wp) position-score
+    grads: returns r = J·dbd where dbd[q, p] = ds[q, p-(T-1-q)].
 
-    dbd[q, p] = ds[q, p - (T-1-q)] with ds zero-padded to Wp columns.
-    Row q needs a RIGHT-rotate by T-1-q — a negative stride, which
-    Mosaic's strided dynamic_rotate cannot express — so rotate the
-    row-REVERSED array with stride +1 instead (row q' = T-1-q gets shift
-    q'; base 0 keeps every vreg's in-vreg shift under the lane width).
-    Row reversal is J·x with the anti-diagonal J (`rev` has no Mosaic
-    lowering). Wrapped reads land in the zero pad because Wp >= 2T-1."""
+    Row q of dbd needs a RIGHT-rotate by T-1-q — a negative stride,
+    which Mosaic's strided dynamic_rotate cannot express — so the
+    row-REVERSED array rotates with stride +1 instead (row q' = T-1-q
+    gets shift q'; base 0 keeps every vreg's in-vreg shift under the
+    lane width). Row reversal is J·x with the anti-diagonal J (`rev` has
+    no Mosaic lowering); the SECOND flip (J·r = dbd) is left to the
+    CALLER, who can push it onto the small (T, dh) operands instead of
+    this (T, Wp) block (J is symmetric):
+
+        dqv = dbd·pe  = J·(r·pe)
+        dpe = dbdᵀ·qv = rᵀ·(J·qv)
+
+    Wrapped reads land in the zero pad because Wp >= 2T-1."""
     flipped = jax.lax.dot_general(
         j_rev, ds, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(ds.dtype)
-    padded = jnp.concatenate(
-        [flipped, jnp.zeros((t, wp - t), ds.dtype)], axis=1
     )
-    rolled = pltpu.roll(padded, 0, 1, stride=1, stride_axis=0)
-    return jax.lax.dot_general(
-        j_rev, rolled, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(ds.dtype)
+    padded = jnp.concatenate(
+        [flipped, jnp.zeros((t, wp - t), jnp.float32)], axis=1
+    )
+    return pltpu.roll(padded, 0, 1, stride=1, stride_axis=0)
 
 
 def _fwd_kernel(hpb: int, dh: int, t: int, qu_ref, qv_ref, k_ref, v_ref,
@@ -219,13 +223,24 @@ def _bwd_kernel(hpb: int, dh: int, t: int, wp: int, qu_ref, qv_ref, k_ref,
             ds_b, quh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dk_ref.dtype)
-        dbdf = _shift_bwd(dss, t, wp, j_rev).astype(qvh.dtype)  # (T, Wp)
+        rolled = _shift_bwd_rolled(dss, t, wp, j_rev).astype(qvh.dtype)
+        j_b = j_rev.astype(qvh.dtype)
+        # dqv = J·(rolled·pe): the un-flip rides the (T, dh) result
+        r_pe = jax.lax.dot_general(
+            rolled, peh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(qvh.dtype)  # (T, dh)
         dqv_ref[0, :, sl] = jax.lax.dot_general(
-            dbdf, peh, (((1,), (0,)), ((), ())),
+            j_b, r_pe, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dqv_ref.dtype)
+        # dpe = rolledᵀ·(J·qv)
+        j_qv = jax.lax.dot_general(
+            j_b, qvh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(qvh.dtype)  # (T, dh)
         dpe_ref[0, :, sl] = jax.lax.dot_general(
-            dbdf, qvh, (((0,), (0,)), ((), ())),
+            rolled, j_qv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dpe_ref.dtype)
 

@@ -58,8 +58,14 @@ def test_shift_roundtrip_matches_gather():
     ds = jnp.asarray(rng.randn(t, t).astype(np.float32))
 
     def bwd_kernel(x_ref, o_ref):
-        o_ref[:] = rf._shift_bwd(x_ref[:], t, wp,
-                                 rf._rev_matrix(t, jnp.float32))
+        # _shift_bwd_rolled returns the row-reversed scatter; un-flip
+        # here to compare against the dense scatter
+        j = rf._rev_matrix(t, jnp.float32)
+        rolled = rf._shift_bwd_rolled(x_ref[:], t, wp, j)
+        o_ref[:] = jax.lax.dot_general(
+            j, rolled, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     got_b = np.asarray(pl.pallas_call(
         bwd_kernel, out_shape=jax.ShapeDtypeStruct((t, wp), jnp.float32),
