@@ -179,7 +179,7 @@ def _bwd_kernel(hpb: int, dh: int, t: int, wp: int, qu_ref, qv_ref, k_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dpe_ref):
     isd = dh ** -0.5
     mask = mask_ref[0, 0, :][None, :]
-    # f32 throughout _shift_bwd: Mosaic's strided rotate is 32-bit-only
+    # f32 through _shift_bwd_rolled: Mosaic strided rotate is 32-bit-only
     j_rev = _rev_matrix(t, jnp.float32)
     for h in range(hpb):
         sl = slice(h * dh, (h + 1) * dh)

@@ -32,7 +32,7 @@ def inputs():
 
 
 def test_shift_roundtrip_matches_gather():
-    """_shift_fwd == the XLA gather rel-shift; _shift_bwd is its exact
+    """_shift_fwd == the XLA gather rel-shift; _shift_bwd_rolled (+ un-flip) is its exact
     transpose (checked densely via identity cotangents)."""
     t, wp = 24, 128
     rng = np.random.RandomState(1)
