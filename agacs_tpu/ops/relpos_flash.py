@@ -25,9 +25,10 @@ j < T the gathered index stays inside the real 2T-1 region, so the
 padding never leaks into scores (proof in docstring of _shift_fwd).
 
 The backward scatter (un-shift) is the same rotate on row-reversed
-data: dbd[q, p] = ds[q, p-(T-1-q)], realized as
-flip_rows -> roll(stride=1) -> flip_rows of the zero-padded ds; wrapped
-reads land in the zero pad because Wp >= 2T-1.
+data: dbd[q, p] = ds[q, p-(T-1-q)] = J·roll(J·ds_padded) with the
+anti-diagonal J; the second J rides the small (T, dh) results by
+associativity (see _shift_bwd_rolled). Wrapped reads land in the zero
+pad because Wp >= 2T-1.
 
 Layout mirrors flash_train.py: packed (B, T, D) q/k/v (the projections'
 natural output), heads split by static lane slices, no (B, h, T, dk)
