@@ -177,3 +177,40 @@ def test_rel_attn_integration(monkeypatch):
             a, b, atol=max(5e-2 * np.abs(b).max(), 1e-3),
             err_msg=str(kp),
         )
+
+
+def test_relpos_mha_dp_sharded_grads(monkeypatch):
+    """Batch-sharded relpos_mha on the 8-device mesh matches single-device
+    values and gradients — exercises the custom_partitioning rules and
+    the (B, Wp, D) per-batch dpe partials whose cross-shard sum GSPMD
+    must insert outside the kernel."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    monkeypatch.setenv("AGACS_RELPOS_FLASH", "interpret")
+    rng = np.random.RandomState(3)
+    b = 8
+    qu, qv, k, v = (_mk(rng, b, T, D) for _ in range(4))
+    pe = rf.pad_pe(_mk(rng, 2 * T - 1, D), T)
+    mask = jnp.zeros((b, T), jnp.float32)
+    do = _mk(rng, b, T, D)
+
+    def loss(qu, qv, k, v, pe):
+        o = rf.relpos_mha(qu, qv, k, v, pe, mask, H, True)
+        return jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32))
+
+    ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, pe)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    args = (jax.device_put(qu, sh), jax.device_put(qv, sh),
+            jax.device_put(k, sh), jax.device_put(v, sh),
+            jax.device_put(pe, repl))
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(*args)
+    for name, a, r in zip("dqu dqv dk dv dpe".split(), got, ref):
+        a = np.asarray(a, np.float32)
+        r = np.asarray(r, np.float32)
+        assert np.abs(a).max() > 0.4 * np.abs(r).max(), (name, "sum lost?")
+        np.testing.assert_allclose(
+            a, r, atol=max(1e-2 * np.abs(r).max(), 1e-3), err_msg=name
+        )
