@@ -205,3 +205,22 @@ def test_initial_prompt_enters_context_and_not_output(monkeypatch):
         max_steps=8,
     )
     assert all(p[0] == SP.sot for p in primers[1:])
+
+
+def test_per_window_beam_mode():
+    """beam_size > 1 routes windows through the composed beam in stock's
+    without_timestamps mode: segments carry window-level times and text
+    tokens only."""
+    params = init_whisper_params(jax.random.PRNGKey(4), CFG)
+    rng = np.random.RandomState(2)
+    audio = (0.05 * rng.randn(4 * 16000)).astype(np.float32)
+
+    out = transcribe(params, CFG, audio, language="zh", max_steps=8,
+                     no_speech_threshold=1.1, temperature=(0.0,),
+                     logprob_threshold=None, beam_size=2)
+    assert isinstance(out["text"], str)
+    for s in out["segments"]:
+        assert 0.0 <= s.start <= s.end <= 30.0
+        # without_timestamps: no timestamp tokens in the emitted segments
+        assert all(t < SP.timestamp_begin for t in s.tokens
+                   if t < SP.eot or t >= SP.timestamp_begin)
