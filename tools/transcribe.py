@@ -27,6 +27,12 @@ def main():
                          "prompt path")
     ap.add_argument("--language", default=None,
                     help="long-form: language code (default: detect)")
+    ap.add_argument("--initial_prompt", default=None,
+                    help="long-form: text for the <|startofprev|> window "
+                         "of the first decode (stock transcribe.py:46)")
+    ap.add_argument("--no_condition_on_previous_text", action="store_true",
+                    help="long-form: do not feed decoded text back as the "
+                         "next window's prompt context")
     ap.add_argument("--cross_kv_int8", action="store_true",
                     help="int8 precomputed cross-KV (kernel path only)")
     args = ap.parse_args()
@@ -65,8 +71,13 @@ def main():
     if args.long_form:
         from agacs_tpu.decode.transcribe import transcribe
 
-        out = transcribe(params, task.cfg.whisper, audio,
-                         language=args.language)
+        out = transcribe(
+            params, task.cfg.whisper, audio,
+            language=args.language,
+            initial_prompt=args.initial_prompt,
+            condition_on_previous_text=not args.no_condition_on_previous_text,
+            beam_size=args.beam_size,
+        )
         for seg in out["segments"]:
             print(f"[{seg.start:7.2f} -> {seg.end:7.2f}] {seg.text}")
         print(f"# language: {out['language']}")
