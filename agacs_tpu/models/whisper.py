@@ -199,6 +199,8 @@ def fused_linears(x: jax.Array, ps: list) -> list:
     numerically identical (same per-channel scales; the row scale of x
     is per-row, weight-independent). Falls back to per-projection calls
     when the params mix quantized and dense weights."""
+    import os
+
     if all("w_q" in p for p in ps):
         from agacs_tpu.ops import int8_serve
         from agacs_tpu.ops.int8_linear import int8_matmul
@@ -212,7 +214,14 @@ def fused_linears(x: jax.Array, ps: list) -> list:
         else:
             y = checkpoint_name(int8_matmul(x, w_cat, s_cat),
                                 "int8_linear_out")
-    elif all("w_q" not in p for p in ps):
+    elif (all("w_q" not in p for p in ps)
+          and os.environ.get("AGACS_FUSE_QKV_BF16", "0") in ("1", "true")):
+        # measured default OFF for dense weights: the per-step f32->bf16
+        # concat+cast costs more than the saved activation reads
+        # (whisper bf16 16x15 s: fused 91.6 vs unfused 89.6 ms; conformer
+        # neutral at 57.3-57.4 — docs/PERF.md round-5). The int8 branch
+        # above stays fused: its concat is int8 (4x smaller) and the
+        # shared row-quant win is real.
         w_cat = jnp.concatenate([p["w"] for p in ps], axis=-1)
         y = jnp.dot(x, w_cat.astype(x.dtype))
     else:

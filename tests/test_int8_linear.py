@@ -241,8 +241,14 @@ def test_fused_qkv_linears_match_separate():
             p["b"] = jnp.asarray(rng.randn(256).astype(np.float32) * 0.1)
         return p
 
+    import os
+
     ps = [mk(True), mk(False), mk(True)]  # query, key (no bias), value
-    dense_f = fused_linears(x, ps)
+    os.environ["AGACS_FUSE_QKV_BF16"] = "1"  # dense fusion is opt-in now
+    try:
+        dense_f = fused_linears(x, ps)
+    finally:
+        os.environ.pop("AGACS_FUSE_QKV_BF16", None)
     dense_s = [linear(x, p) for p in ps]
     for a, r in zip(dense_f, dense_s):
         np.testing.assert_allclose(
